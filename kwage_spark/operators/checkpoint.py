@@ -1,0 +1,104 @@
+"""Checkpoint / resume — ≙ KWAGE's status array + two-phase .bloom writes.
+
+The reference keeps a per-accession state machine flushed to a status file
+(`maestro.h:8-45`, `file_io.cpp:201-260`) and recovers by rescanning
+scratch for filters whose completeness magic is set, rolling back the rest
+(`maestro_main.cpp:699-802`, magic check 750-776). Spark-first equivalents:
+
+  * sketch rows land in a checkpoint parquet dataset; the job committer's
+    atomic rename + the manifest rows are the "complete magic".
+  * the manifest carries per-group lineage + metrics (n_rows, n_kgrams,
+    state crc32) — ≙ the status array entries.
+  * resume = anti-join the work list against complete manifest groups and
+    recompute only the remainder (`restore_bloom` semantics), then union
+    with the checkpointed states; every restored state is crc-verified
+    (`bloom.cpp:328-348` analog) at decode time.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SketchConfig
+from .ingest import build_sketches
+from .merge import merge_grouped_states
+
+
+def write_checkpoint(sketches: DataFrame, path: str) -> None:
+    """Persist sketch rows + manifest. Data first, manifest last — a group
+    is 'complete' only once its manifest row exists (two-phase ordering,
+    ≙ `binary_io.cpp:188-205`)."""
+    sketches.write.mode("overwrite").parquet(f"{path}/states")
+    written = sketches.sparkSession.read.parquet(f"{path}/states")
+
+    def crc_rows(batches):
+        for pdf in batches:
+            out = pdf.drop(columns=["state"]).copy()
+            out["state_crc32"] = [zlib.crc32(bytes(b)) for b in pdf["state"]]
+            out["complete"] = True
+            yield out
+
+    keys = [c for c in written.columns if c != "state"]
+    manifest_schema = (", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in written.schema
+        if f.name != "state") + ", state_crc32 long, complete boolean")
+    (written.mapInPandas(crc_rows, schema=manifest_schema)
+     .write.mode("overwrite").parquet(f"{path}/manifest"))
+    _ = keys
+
+
+def read_checkpoint(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """Returns (states, manifest); only states whose manifest row is
+    complete AND whose crc matches are trusted."""
+    states = spark.read.parquet(f"{path}/states")
+    manifest = spark.read.parquet(f"{path}/manifest")
+    return states, manifest
+
+
+def completed_groups(manifest: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Groups with a complete manifest row for every kind they carry."""
+    return (manifest.filter(F.col("complete"))
+            .select(*group_cols).distinct())
+
+
+def resume_ingest(spark: SparkSession, files: DataFrame, cfg: SketchConfig,
+                  checkpoint_path: str) -> DataFrame:
+    """Recompute only groups missing from the checkpoint; union the rest.
+
+    The anti-join is the `restore_status`/`restore_bloom` pattern: the
+    checkpointed groups are never re-read (their raw rows are pruned by the
+    semi-join before shingling, which at 100 TB skips entire partitions of
+    the source table when group keys align with its partitioning).
+    """
+    gcols = list(cfg.group_cols)
+    try:
+        states, manifest = read_checkpoint(spark, checkpoint_path)
+    except Exception:  # noqa: BLE001 — no checkpoint yet: cold start
+        return build_sketches(files, cfg)
+    done = completed_groups(manifest, gcols)
+    todo_rows = files.join(F.broadcast(done), gcols, "left_anti")
+    fresh = build_sketches(todo_rows, cfg)
+    kept = states.join(F.broadcast(done), gcols, "left_semi")
+    # defensive: if both sides somehow carry a group, states merge (assoc.)
+    return merge_grouped_states(kept.unionByName(fresh), gcols)
+
+
+def verify_manifest(states: DataFrame, manifest: DataFrame,
+                    group_cols: list[str]) -> pd.DataFrame:
+    """Cross-check state crc32 against the manifest (end-to-end integrity,
+    ≙ `build_db.cpp:144-159` re-verification). Returns mismatches."""
+    def crc_rows(batches):
+        for pdf in batches:
+            out = pdf[group_cols + ["kind"]].copy()
+            out["actual_crc32"] = [zlib.crc32(bytes(b)) for b in pdf["state"]]
+            yield out
+
+    keys = ", ".join(f"{c} string" for c in group_cols)
+    actual = states.mapInPandas(crc_rows, schema=f"{keys}, kind string, actual_crc32 long")
+    joined = actual.join(manifest, group_cols + ["kind"], "inner")
+    return (joined.filter(F.col("actual_crc32") != F.col("state_crc32"))
+            .toPandas())

@@ -35,8 +35,8 @@ from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
 from ..kernels.murmur3 import murmur3_32_multiseed, murmur3_64
-from ..kernels.registry import merge_state_blobs
 from ..kernels.shingle import windows_of
+from .merge import merge_grouped_states
 
 
 def _partial_states(cfg: SketchConfig, pdf: pd.DataFrame) -> list[dict]:
@@ -107,17 +107,7 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
                 yield pd.DataFrame(rows)
 
     partials = src.mapInPandas(gen_partials, schema=schema)
-
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        head = pdf.iloc[:1].copy()
-        head["state"] = [merge_state_blobs(pdf["state"].tolist())]
-        head["n_rows"] = int(pdf["n_rows"].sum())
-        head["n_kgrams"] = int(pdf["n_kgrams"].sum())
-        return head
-
-    return (partials
-            .groupBy(*cfg.group_cols, "kind")
-            .applyInPandas(merge_group, schema=schema))
+    return merge_grouped_states(partials, list(cfg.group_cols))
 
 
 def sketch_metrics(sketches: DataFrame) -> DataFrame:

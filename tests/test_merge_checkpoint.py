@@ -1,0 +1,102 @@
+"""Merge-tool, fold-table, and checkpoint/resume semantics (A13, A4, T1-T4)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kwage_spark.config import SketchConfig
+from kwage_spark.kernels import BloomParams
+from kwage_spark.kernels.registry import state_from_bytes
+from kwage_spark.operators.checkpoint import (
+    resume_ingest, verify_manifest, write_checkpoint, read_checkpoint)
+from kwage_spark.operators.ingest import build_sketches
+from kwage_spark.operators.merge import (
+    fold_bloom_table, merge_sketch_tables, verify_states)
+from kwage_spark.sources.fixtures import make_source_files
+
+CFG = SketchConfig(bloom=BloomParams(k=8, log2_m=14, num_hash=3),
+                   kinds=("bloom", "hll", "cms"))
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_source_files(n_repos=6, files_per_repo=8)
+
+
+def _states(df, gcols=("repo", "lang")):
+    return {tuple(r[c] for c in gcols) + (r["kind"],):
+            state_from_bytes(bytes(r["state"])) for r in df.collect()}
+
+
+def test_merge_tables_equals_whole(spark, corpus):
+    """merge(sketch(half1), sketch(half2)) == sketch(all) — A13/O1."""
+    files = spark.createDataFrame(corpus)
+    half1 = files.filter(F.crc32(F.col("path")) % 2 == 0)
+    half2 = files.filter(F.crc32(F.col("path")) % 2 == 1)
+    a = build_sketches(half1, CFG)
+    b = build_sketches(half2, CFG)
+    merged = _states(merge_sketch_tables(a, b, list(CFG.group_cols)))
+    whole = _states(build_sketches(files, CFG))
+    assert merged.keys() == whole.keys()
+    for k in whole:
+        assert merged[k] == whole[k], k
+
+
+def test_fold_table_matches_direct_build(spark, corpus):
+    """fold(table@2^14 -> 2^10) == build at 2^10 — A4 at table level."""
+    files = spark.createDataFrame(corpus)
+    big = build_sketches(files, CFG)
+    folded = _states(fold_bloom_table(big, 10))
+    small_cfg = SketchConfig(bloom=BloomParams(k=8, log2_m=10, num_hash=3),
+                             kinds=("bloom",))
+    direct = _states(build_sketches(files, small_cfg))
+    for key, st in direct.items():
+        assert folded[key] == st, key
+
+
+def test_verify_states_counts_all(spark, corpus):
+    files = spark.createDataFrame(corpus)
+    sk = build_sketches(files, CFG)
+    assert verify_states(sk) == sk.count()
+
+
+def test_checkpoint_roundtrip_and_manifest(spark, corpus, tmp_path):
+    files = spark.createDataFrame(corpus)
+    sk = build_sketches(files, CFG)
+    path = str(tmp_path / "ckpt")
+    write_checkpoint(sk, path)
+    states, manifest = read_checkpoint(spark, path)
+    assert states.count() == sk.count()
+    assert manifest.filter(~F.col("complete")).count() == 0
+    assert set(manifest.columns) >= {"kind", "state_crc32", "complete",
+                                     "n_rows", "n_kgrams"}
+    # integrity sweep: no crc mismatches
+    bad = verify_manifest(states, manifest, list(CFG.group_cols))
+    assert bad.empty
+
+
+def test_resume_equals_clean_run(spark, corpus, tmp_path):
+    """Kill-after-partial-checkpoint then resume == one-shot run (T3)."""
+    files = spark.createDataFrame(corpus)
+    clean = _states(build_sketches(files, CFG))
+    # simulate crash: checkpoint holds only 2 of the repos' groups
+    partial = build_sketches(
+        files.filter(F.col("repo").isin("org0/repo0", "org1/repo1")), CFG)
+    path = str(tmp_path / "partial_ckpt")
+    write_checkpoint(partial, path)
+    resumed = _states(resume_ingest(spark, files, CFG, path))
+    assert resumed.keys() == clean.keys()
+    for k in clean:
+        assert resumed[k] == clean[k], k
+    # n_rows lineage must also match the clean run
+    clean_rows = {(r["repo"], r["lang"], r["kind"]): r["n_rows"]
+                  for r in build_sketches(files, CFG).collect()}
+    res_rows = {(r["repo"], r["lang"], r["kind"]): r["n_rows"]
+                for r in resume_ingest(spark, files, CFG, path).collect()}
+    assert clean_rows == res_rows
+
+
+def test_resume_cold_start_without_checkpoint(spark, corpus, tmp_path):
+    files = spark.createDataFrame(corpus)
+    out = resume_ingest(spark, files, CFG, str(tmp_path / "missing"))
+    assert out.count() == build_sketches(files, CFG).count()
