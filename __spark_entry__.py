@@ -16,8 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from kwage_spark import queries as _q            # noqa: E402
-from kwage_spark import queries_sketch as _qs    # noqa: E402
+from kwage_spark import queries as _q              # noqa: E402
+from kwage_spark import queries_pipeline as _qp    # noqa: E402
+from kwage_spark import queries_sketch as _qs      # noqa: E402
+
+_ = (_qp, _qs)  # imported for their @register side effects
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,208 @@
+"""Near-duplicate detection over document tables — the training-data-
+pipeline dedup family, built on the same shingle/hash kernels as the
+sketches.
+
+  * exact dedup          -> hash-groupBy (in queries.py, SQL-checked)
+  * n-gram Jaccard       -> relational form (in queries.py, SQL-checked)
+  * MinHash + LSH        -> minhash_signatures / lsh_candidates here
+  * SimHash              -> simhash_signatures / simhash_near_duplicates
+  * embedding cosine     -> embedding_near_duplicates (random hyperplanes)
+
+Scale notes: every pairwise step is banded/bucketed FIRST (shuffle on the
+band key), so candidate generation is O(n) rows exploded by a constant
+(bands / chunks / probes) and the quadratic blow-up is confined to within-
+bucket self-joins — the standard LSH contract. Verification re-ranks only
+candidate pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.murmur3 import murmur3_32_multiseed
+from ..kernels.shingle import windows_of
+
+MINHASH_SEED_BASE = 0x1000  # disjoint from bloom (0..4) and cms (0x100..)
+SIMHASH_SEED = 0x2000
+HYPERPLANE_SEED = 0x3000
+
+
+# ------------------------------------------------------------------ minhash
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 5, num_perm: int = 64) -> DataFrame:
+    """(id, sig array<bigint>) — sig[i] = min over k-grams of murmur(gram, seed_i).
+
+    One murmur pass over (n_grams x num_perm) per doc, fully vectorized.
+    """
+    seeds = (MINHASH_SEED_BASE + np.arange(num_perm)).astype(np.uint32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                w = windows_of(text, k)
+                if w.shape[0] == 0:
+                    continue
+                h = murmur3_32_multiseed(w, seeds)      # (n, num_perm)
+                sigs.append(h.min(axis=0).astype(np.int64))
+                ids.append(rid)
+            if ids:
+                yield pd.DataFrame({id_col: ids, "sig": [s.tolist() for s in sigs]})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, sig array<bigint>")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 5, num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate pairs via banding, verified by signature-Jaccard >= threshold.
+
+    rows_per_band = num_perm // bands; the usual S-curve gives candidate
+    recall ~1 at J >= (1/bands)^(1/rows_per_band).
+    Output: (id_a, id_b, sig_jaccard) with id_a < id_b.
+    """
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+
+    band_cols = F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> struct(b AS band, hash(slice(sig, b * {r} + 1, {r})) AS bkey))"
+    )).alias("bb")
+    banded = sigs.select(id_col, "sig", band_cols).select(
+        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bkey") == F.col("b.bkey"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.sig").alias("sig_a"),
+                    F.col("b.sig").alias("sig_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+    sig_j = (F.size(F.expr(
+        "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
+        / F.lit(num_perm))
+    return (cand.withColumn("sig_jaccard", sig_j)
+            .filter(F.col("sig_jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("sig_jaccard", 5).alias("sig_jaccard")))
+
+
+# ------------------------------------------------------------------ simhash
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: sum of +/-1 per bit weighted by
+    token count, sign -> bit. (id, simhash bigint)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sigs = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = pd.Series(text.split()).value_counts()
+                if toks.empty:
+                    continue
+                # 64-bit token hash from two 32-bit lanes
+                maxlen = max(len(t) for t in toks.index)
+                arr = np.zeros((len(toks), maxlen), dtype=np.uint8)
+                for i, t in enumerate(toks.index):
+                    b = t.encode("utf-8", "surrogatepass")[:maxlen]
+                    arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+                h2 = murmur3_32_multiseed(
+                    arr, np.asarray([SIMHASH_SEED, SIMHASH_SEED + 1], dtype=np.uint32))
+                h64 = (h2[:, 0].astype(np.uint64) << np.uint64(32)) | h2[:, 1].astype(np.uint64)
+                bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                        ).astype(np.int64) * 2 - 1                     # (n_tok, 64) in {-1,+1}
+                w = toks.to_numpy(dtype=np.int64)[:, None]
+                sig_bits = (bits * w).sum(axis=0) > 0
+                sig = int(np.packbits(sig_bits[::-1]).view(">u8")[0])
+                ids.append(rid)
+                sigs.append(np.int64(np.uint64(sig)).item())
+            if ids:
+                yield pd.DataFrame({id_col: ids, "simhash": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, simhash bigint")
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
+                            max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance d via the chunk trick: split 64 bits
+    into d+1 chunks — any pair with distance <= d matches exactly on at
+    least one chunk (pigeonhole). Bucket-join on (chunk_idx, chunk_value),
+    verify with bit_count(xor)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = F.explode(F.expr(
+        f"transform(sequence(0, {n_chunks - 1}),"
+        f" c -> struct(c AS ci, shiftright(simhash, c * {width})"
+        f" & {(1 << width) - 1} AS cv))")).alias("ch")
+    keyed = sigs.select(id_col, "simhash", chunks).select(
+        id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ------------------------------------------------------- embedding near-dup
+def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              n_planes: int = 12) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH + exact re-rank.
+
+    Seeded Gaussian hyperplanes (deterministic); sign pattern -> bucket;
+    within-bucket pairs re-ranked by exact cosine (built-in zip_with /
+    aggregate, JVM-side).
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    dim = first["d"]
+    rng = np.random.default_rng(HYPERPLANE_SEED)
+    planes = rng.standard_normal((n_planes, dim))
+    bplanes = df.sparkSession.sparkContext.broadcast(planes)
+
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        p = bplanes.value
+        mat = np.stack(vecs.to_numpy())            # (n, dim)
+        signs = (mat @ p.T) > 0                     # (n, n_planes)
+        return pd.Series((signs * (1 << np.arange(p.shape[0]))).sum(axis=1)
+                         .astype(np.int64))
+
+    keyed = df.select(id_col, vec_col).withColumn("bucket", bucket_of(F.col(vec_col)))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    dot = F.expr(f"aggregate(zip_with(a.{vec_col}, b.{vec_col},"
+                 " (x, y) -> cast(x as double) * cast(y as double)),"
+                 " cast(0.0 as double), (acc, v) -> acc + v)")
+
+    def nrm(side: str):
+        return F.expr(f"sqrt(aggregate({side}.{vec_col}, cast(0.0 as double),"
+                      " (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+
+    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .withColumn("cosine", dot / (nrm("a") * nrm("b")))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.round("cosine", 5).alias("cosine")))

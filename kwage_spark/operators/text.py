@@ -1,0 +1,106 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are built-in column expressions (JVM-side, codegen);
+only the winnowing fingerprint needs numpy (mapInPandas, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..kernels.murmur3 import murmur3_32_multiseed
+from ..kernels.shingle import windows_of
+
+# tiny public stopword profiles for the n-gram/stopword language heuristic
+_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "y", "es", "una", "en", "que"],
+}
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"  # BPE-ish pre-tokenizer split
+
+
+def token_count_bpe(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counts under a BPE-style pre-tokenizer regex — built-in only."""
+    return df.select(
+        id_col,
+        F.size(F.regexp_extract_all(text_col, F.lit(TOKEN_REGEX), F.lit(0)))
+         .cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(text_col, r"\s+")).cast("long").alias("n_ws_tokens"))
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / digit / stopword / uniqueness signals."""
+    toks = F.split(text_col, r"\s+")
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_list = ",".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return df.select(
+        id_col,
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(F.length(text_col) / n_tok, 4).alias("avg_token_len"),
+        F.round(F.size(F.regexp_extract_all(text_col, F.lit(r"[^a-zA-Z0-9\s]"), F.lit(0)))
+            / F.greatest(F.length(text_col), F.lit(1)), 5).alias("punct_ratio"),
+        F.round(F.size(F.regexp_extract_all(text_col, F.lit("[0-9]"), F.lit(0)))
+            / F.greatest(F.length(text_col), F.lit(1)), 5).alias("digit_ratio"),
+        F.round(F.expr(
+            f"size(filter(split({text_col}, '\\\\s+'), t -> t in ({stop_list})))")
+            / n_tok, 5).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 5).alias("uniq_token_ratio"))
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: CJK char ratio -> zh; else stopword votes.
+
+    Built-in expressions only (no UDF): per-language stopword hit counts
+    via filter(split(...)), argmax via greatest + chained when().
+    """
+    toks = F.split(F.lower(text_col), r"\s+")
+    votes = {}
+    for lang, words in _STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        votes[lang] = F.size(F.expr(
+            f"filter(split(lower({text_col}), '\\\\s+'), t -> t in ({lst}))"))
+    cjk = (F.size(F.regexp_extract_all(text_col, F.lit(r"[\x{4E00}-\x{9FFF}]"), F.lit(0)))
+           / F.greatest(F.length(text_col), F.lit(1)))
+    best = F.greatest(*votes.values())
+    pred = F.when(cjk > 0.2, F.lit("zh"))
+    for lang in _STOPWORDS:
+        pred = pred.when(votes[lang] == best, F.lit(lang))
+    return df.select(id_col, pred.otherwise(F.lit("und")).alias("pred_lang"),
+                     *[votes[lang].alias(f"votes_{lang}") for lang in _STOPWORDS])
+
+
+def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, window: int = 4) -> DataFrame:
+    """Document fingerprints by robust winnowing (Schleimer et al., MOSS):
+    rolling k-gram hashes, per-window minimum, dedup — a compact,
+    position-robust signature set. (id, fingerprints array<bigint>)."""
+    seeds = np.asarray([0x4000], dtype=np.uint32)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                w = windows_of(text, k)
+                if w.shape[0] == 0:
+                    continue
+                h = murmur3_32_multiseed(w, seeds)[:, 0]
+                if h.shape[0] >= window:
+                    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+                    mins = sw.min(axis=1)
+                else:
+                    mins = h.min(keepdims=True)
+                ids.append(rid)
+                fps.append(np.unique(mins).astype(np.int64).tolist())
+            if ids:
+                yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen, schema=f"{id_col} long, fingerprints array<bigint>")

@@ -1,0 +1,188 @@
+"""Dedup / similarity / text / multimodal operators, each against an exact
+or deterministic oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kwage_spark.operators.dedup import (
+    embedding_near_duplicates, minhash_lsh_pairs, minhash_signatures,
+    simhash_near_duplicates, simhash_signatures)
+from kwage_spark.operators.multimodal import (
+    decode_and_featurize, frame_sample, make_media_table)
+from kwage_spark.operators.similarity import ann_topk_lsh, cosine_topk
+from kwage_spark.operators.text import (
+    language_id, quality_scores, token_count_bpe, winnowing_fingerprints)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """Docs with planted near-duplicates: pairs (i, i+100) share ~90% text."""
+    rng = np.random.default_rng(3)
+    vocab = [f"tok{j}" for j in range(300)]
+    rows = []
+    for i in range(40):
+        toks = list(rng.choice(vocab, size=120))
+        rows.append((i, " ".join(toks)))
+        dup = toks.copy()
+        for _ in range(8):                      # ~7% token edits
+            dup[int(rng.integers(0, len(dup)))] = str(rng.choice(vocab))
+        rows.append((i + 100, " ".join(dup)))
+        rows.append((i + 200, " ".join(rng.choice(vocab, size=120))))  # unrelated
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    """Embeddings with planted near-dups: (i, i+500) differ by tiny noise."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(32)
+        v /= np.linalg.norm(v)
+        rows.append((i, v.astype(np.float32).tolist(), i % 4))
+        w = v + rng.standard_normal(32) * 0.02
+        w /= np.linalg.norm(w)
+        rows.append((i + 500, w.astype(np.float32).tolist(), i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+# ------------------------------------------------------------------ minhash
+def _exact_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa = {a[i:i + k] for i in range(len(a) - k + 1)}
+    sb = {b[i:i + k] for i in range(len(b) - k + 1)}
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_minhash_signature_estimates_jaccard(spark, docs):
+    pdf = docs.filter(F.col("doc_id").isin(0, 100, 200)).toPandas().set_index("doc_id")
+    sigs = minhash_signatures(docs.filter(F.col("doc_id").isin(0, 100, 200)),
+                              "doc_id", "text", k=5, num_perm=128).toPandas()
+    sigs = sigs.set_index("doc_id")["sig"]
+    est = np.mean(np.asarray(sigs[0]) == np.asarray(sigs[100]))
+    true = _exact_jaccard(pdf.loc[0, "text"], pdf.loc[100, "text"])
+    assert abs(est - true) <= 0.15          # 128 perms => sigma ~ 0.044
+    est_far = np.mean(np.asarray(sigs[0]) == np.asarray(sigs[200]))
+    true_far = _exact_jaccard(pdf.loc[0, "text"], pdf.loc[200, "text"])
+    assert abs(est_far - true_far) <= 0.15
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", k=5, num_perm=64,
+                              bands=16, threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(i, i + 100) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # precision: unrelated docs (id >= 200) should not pair with anything
+    fp = [p for p in found if p[0] >= 200 or p[1] >= 200]
+    assert not fp, fp
+
+
+# ------------------------------------------------------------------ simhash
+def test_simhash_near_duplicates(spark, docs):
+    sigs = simhash_signatures(docs, "doc_id", "text").toPandas()
+    assert sigs.doc_id.nunique() == docs.count()
+    pairs = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=10).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(i, i + 100) for i in range(40)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.7, f"recall {recall}"
+    fp = [p for p in found if p not in planted]
+    assert len(fp) <= 2, fp                 # unrelated docs stay far in hamming
+
+
+# ------------------------------------------------------------- embeddings
+def test_embedding_near_duplicates(spark, vectors):
+    pairs = embedding_near_duplicates(vectors, threshold=0.98).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    planted = {(i, i + 500) for i in range(60)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.6, f"recall {recall}"  # single-probe LSH recall
+    assert (pairs.cosine >= 0.98).all()
+
+
+def test_cosine_topk_and_ann_agree(spark, vectors):
+    qv = vectors.filter(F.col("vec_id") == 0).first()["embedding"]
+    exact = cosine_topk(vectors.filter(F.col("vec_id") != 0), qv, k=5).toPandas()
+    # its planted twin must be rank 1 with cosine ~1
+    assert exact.vec_id.iloc[0] == 500
+    assert exact.cosine.iloc[0] > 0.99
+    approx = ann_topk_lsh(vectors.filter(F.col("vec_id") != 0), qv, k=5).toPandas()
+    assert approx.vec_id.iloc[0] == 500     # multi-probe must find the twin
+    # every ANN result's cosine matches brute-force scoring (same math)
+    ref = dict(zip(exact.vec_id, exact.cosine))
+    for r in approx.itertuples():
+        if r.vec_id in ref:
+            assert abs(r.cosine - ref[r.vec_id]) < 1e-9
+
+
+# ------------------------------------------------------------------ text
+def test_token_count_bpe_matches_python(spark, docs):
+    import re
+    got = token_count_bpe(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    pdf = docs.toPandas().set_index("doc_id")
+    for did in list(pdf.index)[:10]:
+        toks = re.findall(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]", pdf.loc[did, "text"])
+        assert got.loc[did, "n_bpe_tokens"] == len(toks)
+
+
+def test_quality_scores_shape_and_ranges(spark, docs):
+    q = quality_scores(docs, "doc_id", "text").toPandas()
+    assert (q.n_chars > 0).all()
+    for c in ("punct_ratio", "digit_ratio", "stopword_ratio", "uniq_token_ratio"):
+        assert q[c].between(0, 1).all(), c
+
+
+def test_language_id_heuristic(spark):
+    rows = [(0, "the cat sat on the mat and it is warm in the sun"),
+            (1, "der hund und die katze das ist nicht ein problem zu haben"),
+            (2, "le chat est dans la maison et les oiseaux que nous aimons"),
+            (3, "el perro y el gato es una casa en que vivimos"),
+            (4, "这 是 中文 文本 的 一个 例子 它 应该 被 识别 出来")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = language_id(df, "doc_id", "text").toPandas().set_index("doc_id")
+    assert got.loc[0, "pred_lang"] == "en"
+    assert got.loc[1, "pred_lang"] == "de"
+    assert got.loc[2, "pred_lang"] == "fr"
+    assert got.loc[3, "pred_lang"] == "es"
+    assert got.loc[4, "pred_lang"] == "zh"
+
+
+def test_winnowing_fingerprints_overlap_for_dups(spark, docs):
+    sub = docs.filter(F.col("doc_id").isin(0, 100, 200))
+    fp = winnowing_fingerprints(sub, "doc_id", "text").toPandas().set_index("doc_id")
+    f0, f100, f200 = (set(fp.loc[i, "fingerprints"]) for i in (0, 100, 200))
+    sim_dup = len(f0 & f100) / len(f0 | f100)
+    sim_far = len(f0 & f200) / len(f0 | f200)
+    assert sim_dup > 0.5 > sim_far
+    assert sim_far < 0.2
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_stub_raises_without_fake(spark):
+    media = make_media_table(spark, 6)
+    with pytest.raises(Exception, match="NotImplementedError|decode requires"):
+        decode_and_featurize(media).collect()
+
+
+def test_multimodal_fake_decode_plumbing(spark):
+    media = make_media_table(spark, 12)
+    feats = decode_and_featurize(media, fake=True).toPandas()
+    assert len(feats) == 12
+    assert feats.features.map(len).eq(16).all()
+    assert feats.width.gt(0).all()
+    # determinism: same payload -> same features
+    again = decode_and_featurize(media, fake=True).toPandas()
+    a = feats.sort_values("media_id").features.map(tuple).tolist()
+    b = again.sort_values("media_id").features.map(tuple).tolist()
+    assert a == b
+
+
+def test_multimodal_frame_sample(spark):
+    media = make_media_table(spark, 9)
+    frames = frame_sample(media, every_n_bytes=64, fake=True).toPandas()
+    n_videos = media.filter(F.col("modality") == "video").count()
+    assert frames.media_id.nunique() == n_videos
+    assert (frames.groupby("media_id").frame_idx.max() >= 1).all()

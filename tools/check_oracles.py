@@ -13,6 +13,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
+from kwage_spark import queries_pipeline, queries_sketch  # noqa: E402,F401
 from kwage_spark.queries import TABLES, oracle_queries, spark_queries  # noqa: E402
 from kwage_spark.sources.session import get_spark  # noqa: E402
 
