@@ -114,8 +114,17 @@ class BloomState:
         if hashes.size:
             idx = hashes.astype(np.uint32) & np.uint32(self.params.m - 1)
             flat = idx.ravel()
-            np.bitwise_or.at(self.bits, flat >> np.uint32(3),
-                             np.left_shift(np.uint8(1), (flat & np.uint32(7)).astype(np.uint8)))
+            if flat.size * 8 >= self.params.m:
+                # dense batch: bool scatter-assign + packbits beats the
+                # read-modify-write scatter of bitwise_or.at by ~10x
+                bools = np.zeros(self.params.m, dtype=bool)
+                bools[flat] = True
+                np.bitwise_or(self.bits, np.packbits(bools, bitorder="little"),
+                              out=self.bits)
+            else:
+                np.bitwise_or.at(
+                    self.bits, flat >> np.uint32(3),
+                    np.left_shift(np.uint8(1), (flat & np.uint32(7)).astype(np.uint8)))
         self.n_items += int(hashes.shape[0]) if n_new_items is None else n_new_items
         return self
 

@@ -7,8 +7,11 @@ counter matrix, point query = min over rows, merge = element-wise add
 (associative + commutative, never underestimates).
 
 Guarantee: overestimate <= eps * N with eps = e/w, at confidence
-1 - e^-d (Cormode & Muthukrishnan 2005). Row r uses murmur seed
-``0x100 + r`` so CMS rows are independent of the Bloom seeds 0..h-1.
+1 - e^-d (Cormode & Muthukrishnan 2005). Row r uses murmur seed r —
+the same seed family as the Bloom filter, so the ingest path computes
+ONE multi-lane hash pass shared by Bloom/HLL/CMS (cross-sketch
+correlation is harmless; row-vs-row independence is what the CMS
+bound needs, and each row has its own seed).
 """
 
 from __future__ import annotations
@@ -23,11 +26,8 @@ from .murmur3 import murmur3_32_multiseed
 _MAGIC = 0x4B57434D  # "KWCM"
 _HDR = struct.Struct("<IBBBxIQI")  # magic, ver, log2_w, depth, pad, reserved, n_total, crc32
 
-CMS_SEED_BASE = 0x100
-
-
 def cms_seeds(depth: int) -> np.ndarray:
-    return (CMS_SEED_BASE + np.arange(depth)).astype(np.uint32)
+    return np.arange(depth, dtype=np.uint32)
 
 
 class CMSState:
@@ -49,26 +49,43 @@ class CMSState:
     def w(self) -> int:
         return 1 << self.log2_w
 
+    def add_hashes(self, hashes: np.ndarray,
+                   counts: np.ndarray | None = None) -> "CMSState":
+        """Add pre-hashed items: (n, >=depth) uint32 lanes (seed r = r)."""
+        if hashes.shape[0]:
+            idx = hashes[:, : self.depth] & np.uint32(self.w - 1)
+            c = (None if counts is None else counts.astype(np.int64))
+            for r in range(self.depth):
+                # bincount is a vectorized histogram — far faster than the
+                # scalar read-modify-write loop of np.add.at
+                binc = np.bincount(idx[:, r].astype(np.int64),
+                                   weights=c, minlength=self.w)
+                self.table[r] += binc.astype(np.uint64)
+            self.n_total += int(hashes.shape[0] if counts is None
+                                else counts.sum())
+        return self
+
     def add_windows(self, windows: np.ndarray, counts: np.ndarray | None = None) -> "CMSState":
         """Add (n, k) uint8 byte windows, each with optional multiplicity."""
-        if windows.shape[0]:
-            hashes = murmur3_32_multiseed(windows, cms_seeds(self.depth))  # (n, d)
-            idx = hashes & np.uint32(self.w - 1)
-            c = (np.ones(windows.shape[0], dtype=np.uint64)
-                 if counts is None else counts.astype(np.uint64))
-            for r in range(self.depth):
-                np.add.at(self.table[r], idx[:, r].astype(np.int64), c)
-            self.n_total += int(c.sum())
-        return self
+        if windows.shape[0] == 0:
+            return self
+        return self.add_hashes(
+            murmur3_32_multiseed(windows, cms_seeds(self.depth)), counts)
+
+    def query_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Point-frequency estimates from pre-hashed lanes — min over rows."""
+        if hashes.shape[0] == 0:
+            return np.zeros(0, dtype=np.uint64)
+        idx = (hashes[:, : self.depth] & np.uint32(self.w - 1)).astype(np.int64)
+        ests = np.stack([self.table[r][idx[:, r]] for r in range(self.depth)])
+        return ests.min(axis=0)
 
     def query_windows(self, windows: np.ndarray) -> np.ndarray:
         """Point-frequency estimates, (n,) uint64 — min over rows."""
         if windows.shape[0] == 0:
             return np.zeros(0, dtype=np.uint64)
-        hashes = murmur3_32_multiseed(windows, cms_seeds(self.depth))
-        idx = (hashes & np.uint32(self.w - 1)).astype(np.int64)
-        ests = np.stack([self.table[r][idx[:, r]] for r in range(self.depth)])
-        return ests.min(axis=0)
+        return self.query_hashes(
+            murmur3_32_multiseed(windows, cms_seeds(self.depth)))
 
     def merge(self, other: "CMSState") -> "CMSState":
         if (other.log2_w, other.depth) != (self.log2_w, self.depth):

@@ -94,6 +94,56 @@ def murmur3_32_multiseed(windows: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     return h1
 
 
+def murmur3_32_sliding(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
+    """murmur3_32 of every k-byte sliding window of ``buf`` for every seed,
+    WITHOUT materializing the (n, k) window matrix: each 4-byte block is
+    assembled from four shifted views of the buffer. Bit-identical to
+    ``murmur3_32_multiseed(sliding_window_view(buf, k), seeds)`` (tested),
+    but with O(buf) instead of O(buf * k) memory traffic — the ingest
+    hot path at 100 TB is bandwidth-bound, not compute-bound.
+    """
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    n = buf.shape[0] - k + 1
+    seeds = np.asarray(seeds, dtype=np.uint32)
+    if n <= 0:
+        return np.empty((0, seeds.shape[0]), dtype=np.uint32)
+    nblocks = k // 4
+    b32 = buf.astype(np.uint32)
+    with _err:
+        h1 = np.broadcast_to(seeds[None, :], (n, seeds.shape[0])).copy()
+        for b in range(nblocks):
+            o = 4 * b
+            k1 = (b32[o:o + n]
+                  | (b32[o + 1:o + 1 + n] << np.uint32(8))
+                  | (b32[o + 2:o + 2 + n] << np.uint32(16))
+                  | (b32[o + 3:o + 3 + n] << np.uint32(24)))
+            k1 = k1 * _C1
+            k1 = _rotl32(k1, 15)
+            k1 = k1 * _C2
+            h1 ^= k1[:, None]
+            h1 = _rotl32(h1, 13)
+            h1 = h1 * _M5 + _N
+        tail = k & 3
+        if tail:
+            o = 4 * nblocks
+            k1 = b32[o:o + n].copy()
+            if tail >= 2:
+                k1 |= b32[o + 1:o + 1 + n] << np.uint32(8)
+            if tail == 3:
+                k1 |= b32[o + 2:o + 2 + n] << np.uint32(16)
+            k1 = k1 * _C1
+            k1 = _rotl32(k1, 15)
+            k1 = k1 * _C2
+            h1 ^= k1[:, None]
+        h1 ^= np.uint32(k)
+        h1 ^= h1 >> np.uint32(16)
+        h1 = h1 * _F1
+        h1 ^= h1 >> np.uint32(13)
+        h1 = h1 * _F2
+        h1 ^= h1 >> np.uint32(16)
+    return h1
+
+
 def murmur3_64(windows: np.ndarray, seed_hi: int = 0xA5, seed_lo: int = 0x5A) -> np.ndarray:
     """Composed 64-bit hash from two independent 32-bit lanes.
 

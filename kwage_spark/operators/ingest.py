@@ -1,23 +1,37 @@
 """Sketch ingest — the reference's maestro/worker build path (SURVEY §3.2)
-re-expressed as a two-level Spark aggregation.
+re-expressed as a cost-based Spark aggregation.
 
-Scale design (the point of the whole exercise):
+Two physical strategies, both producing identical states (the merge is
+associative + commutative, so the result is partitioning-invariant):
 
-  stage 1  mapInPandas over the raw table: for every (group × Arrow batch)
-           build a PARTIAL sketch state. This is the map-side combine — raw
-           ``content`` never crosses the network; each partition emits at
-           most (groups-in-partition × kinds) small binary states.
-  stage 2  groupBy(group_cols, kind).applyInPandas: merge the partial
-           states (bitwise-OR / max / add / compact — all associative and
-           commutative, so shuffle order is irrelevant and the result is
-           partitioning-invariant).
+  combine="partial"  (map-side combine, tree-merge)
+      stage 1: mapInPandas builds a PARTIAL state per (group × partition);
+               raw ``content`` never crosses the network.
+      stage 2: groupBy(group, kind).applyInPandas merges the binary states.
+      Shuffle volume ≈ min(n_groups × n_partitions, n_rows) × state_size.
+      Wins when groups are FEW and LARGE (the KWAGE regime: one filter per
+      SRA accession with millions of reads; `bloom.h:118-128` anticipates
+      exactly this MPI-reduce-style tree-merge).
 
-At 100 TB this shuffles only O(n_groups × state_size) bytes instead of the
-corpus. Skew needs no salting: a mega-group's rows are combined into
-partials wherever they already sit — the equivalent of KWAGE's per-worker
-filter construction with MPI reduce (`bloom.h:118-128` anticipates exactly
-this tree-merge). An optional ``repartition`` arg pre-spreads input only
-when the upstream layout is pathological (e.g. one file per group).
+  combine="raw"  (group-partitioned single pass)
+      hash-repartition rows by group key, then one pass per partition
+      accumulating a single state per group across Arrow batches (bounded
+      memory: states, not raw rows — unlike a plain applyInPandas which
+      would materialize a whole mega-group in pandas).
+      Shuffle volume = the raw content, once — the cost of any grouped agg.
+      Wins when groups are MANY and SMALL, where partial states would
+      exceed the raw data (e.g. 10^9 (repo,lang) groups of a few files).
+
+  combine="auto" (default) estimates both volumes with one narrow
+      stats aggregation (group keys + content length only — on a real
+      deployment use table/column statistics instead of the extra scan)
+      and picks the cheaper plan. This mirrors Spark's own partial-agg
+      skip heuristic, applied to user-space aggregates.
+
+Skew: in partial mode a mega-group combines wherever its rows sit (no hot
+partition); in raw mode a mega-group hashes to one partition — use
+build_sketches_salted for that layout, which splits groups into salted
+subgroups and re-merges (A4/A5 algebra).
 """
 
 from __future__ import annotations
@@ -34,50 +48,84 @@ from ..kernels.bloom import BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
-from ..kernels.murmur3 import murmur3_32_multiseed, murmur3_64
-from ..kernels.shingle import windows_of
+from ..kernels.murmur3 import murmur3_32_sliding
 from .merge import merge_grouped_states
 
 
-def _partial_states(cfg: SketchConfig, pdf: pd.DataFrame) -> list[dict]:
-    """Build one partial state per (group, kind) from a pandas batch."""
-    out: list[dict] = []
-    gcols = list(cfg.group_cols)
-    for key, g in pdf.groupby(gcols, sort=False):
-        key = key if isinstance(key, tuple) else (key,)
-        states: dict[str, object] = {}
-        if KIND_BLOOM in cfg.kinds:
-            states[KIND_BLOOM] = BloomState(cfg.bloom)
-        if KIND_HLL in cfg.kinds:
-            states[KIND_HLL] = HLLState(cfg.hll_p)
-        if KIND_CMS in cfg.kinds:
-            states[KIND_CMS] = CMSState(cfg.cms_log2_w, cfg.cms_depth)
-        if KIND_KLL in cfg.kinds:
-            states[KIND_KLL] = KLLState(cfg.kll_k)
-        n_kgrams = 0
-        sizes = []
-        for content in g[cfg.content_col].to_numpy():
-            w = windows_of(content, cfg.k)
-            n_kgrams += int(w.shape[0])
-            sizes.append(len(content))
-            if w.shape[0]:
-                if KIND_BLOOM in states:
-                    states[KIND_BLOOM].add_hashes(
-                        murmur3_32_multiseed(w, cfg.bloom.seeds))
-                if KIND_HLL in states:
-                    states[KIND_HLL].add_hashes64(murmur3_64(w))
-                if KIND_CMS in states:
-                    states[KIND_CMS].add_windows(w)
-        if KIND_KLL in states:
-            vals = (g[cfg.size_col].to_numpy(dtype=np.float64)
-                    if cfg.size_col else np.asarray(sizes, dtype=np.float64))
-            states[KIND_KLL].add_values(vals)
-        for kind, st in states.items():
-            row = dict(zip(gcols, key))
-            row.update(kind=kind, state=st.to_bytes(),
-                       n_rows=int(len(g)), n_kgrams=n_kgrams)
-            out.append(row)
-    return out
+def _new_states(cfg: SketchConfig) -> dict[str, object]:
+    states: dict[str, object] = {}
+    if KIND_BLOOM in cfg.kinds:
+        states[KIND_BLOOM] = BloomState(cfg.bloom)
+    if KIND_HLL in cfg.kinds:
+        states[KIND_HLL] = HLLState(cfg.hll_p)
+    if KIND_CMS in cfg.kinds:
+        states[KIND_CMS] = CMSState(cfg.cms_log2_w, cfg.cms_depth)
+    if KIND_KLL in cfg.kinds:
+        states[KIND_KLL] = KLLState(cfg.kll_k)
+    return states
+
+
+def _hash_lanes(cfg: SketchConfig) -> int:
+    """Seed lanes the hash-sketches share (one murmur pass per row):
+    Bloom uses lanes 0..num_hash-1 (seed h = h, `hash.cpp:252-254`),
+    CMS row r uses lane r, HLL's 64-bit hash composes lanes 0 and 1."""
+    lanes = 0
+    if KIND_BLOOM in cfg.kinds:
+        lanes = max(lanes, cfg.bloom.num_hash)
+    if KIND_CMS in cfg.kinds:
+        lanes = max(lanes, cfg.cms_depth)
+    if KIND_HLL in cfg.kinds:
+        lanes = max(lanes, 2)
+    return lanes
+
+
+def _feed_group(states: dict[str, object], cfg: SketchConfig,
+                g: pd.DataFrame) -> int:
+    """Add one pandas sub-frame (all rows of one group) into states.
+    Returns the number of k-grams seen."""
+    lanes = _hash_lanes(cfg)
+    seeds = np.arange(lanes, dtype=np.uint32)
+    sizes = []
+    hs = []
+    n_kgrams = 0
+    for content in g[cfg.content_col].to_numpy():
+        raw = content.encode("utf-8", "surrogatepass") if isinstance(content, str) else content
+        sizes.append(len(content))
+        n_kgrams += max(0, len(raw) - cfg.k + 1)
+        if lanes and len(raw) >= cfg.k:
+            # sliding-window murmur straight off the byte buffer — no
+            # (n, k) window matrix is ever materialized
+            hs.append(murmur3_32_sliding(
+                np.frombuffer(raw, dtype=np.uint8), cfg.k, seeds))
+    if hs:
+        H = hs[0] if len(hs) == 1 else np.concatenate(hs)
+        if KIND_BLOOM in states:
+            states[KIND_BLOOM].add_hashes(H[:, : cfg.bloom.num_hash])
+        if KIND_HLL in states:
+            h64 = ((H[:, 0].astype(np.uint64) << np.uint64(32))
+                   | H[:, 1].astype(np.uint64))
+            states[KIND_HLL].add_hashes64(h64)
+        if KIND_CMS in states:
+            states[KIND_CMS].add_hashes(H)
+    if KIND_KLL in states:
+        vals = (g[cfg.size_col].to_numpy(dtype=np.float64)
+                if cfg.size_col else np.asarray(sizes, dtype=np.float64))
+        states[KIND_KLL].add_values(vals)
+    return n_kgrams
+
+
+def state_bytes_per_group(cfg: SketchConfig) -> int:
+    """Serialized size of one group's full state set (for plan costing)."""
+    total = 0
+    if KIND_BLOOM in cfg.kinds:
+        total += cfg.bloom.n_bytes + 24
+    if KIND_HLL in cfg.kinds:
+        total += (1 << cfg.hll_p) + 20
+    if KIND_CMS in cfg.kinds:
+        total += cfg.cms_depth * (1 << cfg.cms_log2_w) * 8 + 24
+    if KIND_KLL in cfg.kinds:
+        total += cfg.kll_k * 8 * 3 + 24
+    return total
 
 
 def sketch_schema(cfg: SketchConfig) -> str:
@@ -85,29 +133,132 @@ def sketch_schema(cfg: SketchConfig) -> str:
     return f"{keys}, kind string, state binary, n_rows long, n_kgrams long"
 
 
-def build_sketches(df: DataFrame, cfg: SketchConfig,
-                   repartition: int | None = None) -> DataFrame:
-    """df(source_files) -> DataFrame[group_cols…, kind, state, n_rows, n_kgrams].
-
-    Column-prunes to exactly the needed inputs before the UDF so the
-    parquet scan reads only those columns.
-    """
+def _select_inputs(df: DataFrame, cfg: SketchConfig) -> DataFrame:
     cols = list(cfg.group_cols) + [cfg.content_col]
     if cfg.size_col:
         cols.append(cfg.size_col)
-    src = df.select(*cols)
-    if repartition:
-        src = src.repartition(repartition)
+    return df.select(*cols)
+
+
+def choose_combine(src: DataFrame, cfg: SketchConfig,
+                   n_partitions: int) -> str:
+    """Cost-based strategy pick: compare estimated shuffle volumes."""
+    stats = src.agg(
+        F.count("*").alias("n_rows"),
+        F.approx_count_distinct(
+            F.concat_ws("\x00", *cfg.group_cols)).alias("n_groups"),
+        F.sum(F.length(cfg.content_col)).alias("content_bytes")).first()
+    n_rows = stats["n_rows"] or 0
+    n_groups = max(stats["n_groups"] or 1, 1)
+    content_bytes = stats["content_bytes"] or 0
+    partial_bytes = min(n_groups * n_partitions, n_rows) * state_bytes_per_group(cfg)
+    return "partial" if partial_bytes < content_bytes else "raw"
+
+
+def build_sketches(df: DataFrame, cfg: SketchConfig,
+                   combine: str = "auto",
+                   repartition: int | None = None) -> DataFrame:
+    """df(source_files) -> DataFrame[group_cols…, kind, state, n_rows, n_kgrams].
+
+    Column-prunes to exactly the needed inputs before any UDF so the
+    parquet scan reads only group keys + content (+ size_col).
+    """
+    src = _select_inputs(df, cfg)
+    spark = df.sparkSession
+    n_shuffle = int(repartition or spark.conf.get("spark.sql.shuffle.partitions"))
+    if combine == "auto":
+        combine = choose_combine(src, cfg, n_shuffle)
+    gcols = list(cfg.group_cols)
+    schema = sketch_schema(cfg)
+
+    if combine == "partial":
+        if repartition:
+            src = src.repartition(repartition)
+
+        def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for key, g in pdf.groupby(gcols, sort=False):
+                    key = key if isinstance(key, tuple) else (key,)
+                    states = _new_states(cfg)
+                    n_kgrams = _feed_group(states, cfg, g)
+                    for kind, st in states.items():
+                        row = dict(zip(gcols, key))
+                        row.update(kind=kind, state=st.to_bytes(),
+                                   n_rows=int(len(g)), n_kgrams=n_kgrams)
+                        rows.append(row)
+                if rows:
+                    yield pd.DataFrame(rows)
+
+        partials = src.mapInPandas(gen_partials, schema=schema)
+        return merge_grouped_states(partials, gcols)
+
+    if combine != "raw":
+        raise ValueError(f"unknown combine mode {combine!r}")
+
+    keyed = src.repartition(n_shuffle, *gcols)
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # accumulate ONE state set per group across Arrow batches: memory
+        # is bounded by (groups-in-partition × state size), never raw rows
+        acc: dict[tuple, tuple[dict, int, int]] = {}
+        for pdf in batches:
+            for key, g in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                entry = acc.get(key)
+                if entry is None:
+                    entry = (_new_states(cfg), 0, 0)
+                n_kgrams = _feed_group(entry[0], cfg, g)
+                acc[key] = (entry[0], entry[1] + len(g), entry[2] + n_kgrams)
+        rows = []
+        for key, (states, n_rows, n_kgrams) in acc.items():
+            for kind, st in states.items():
+                row = dict(zip(gcols, key))
+                row.update(kind=kind, state=st.to_bytes(),
+                           n_rows=n_rows, n_kgrams=n_kgrams)
+                rows.append(row)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return keyed.mapInPandas(per_partition, schema=schema)
+
+
+def build_sketches_salted(df: DataFrame, cfg: SketchConfig,
+                          salt_buckets: int = 8,
+                          partitions: int | None = None) -> DataFrame:
+    """Explicitly salted two-stage aggregation for skewed raw-mode layouts.
+
+    A mega-group is split into (group, salt) subgroups — each built
+    independently on its own partition — then the salt is dropped and the
+    subgroup states merge (legal because the merge is associative +
+    commutative, A5; ≙ KWAGE's size-aware packing concern A12).
+    """
+    src = _select_inputs(df, cfg)
+    n_shuffle = int(partitions or
+                    src.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salted = src.withColumn(
+        "_salt", (F.crc32(F.col(cfg.content_col)) % salt_buckets).cast("int"))
+    stage1_in = salted.repartition(n_shuffle, *cfg.group_cols, "_salt")
+    gcols = list(cfg.group_cols)
     schema = sketch_schema(cfg)
 
     def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = _partial_states(cfg, pdf)
+            rows = []
+            for key, g in pdf.drop(columns=["_salt"]).groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                states = _new_states(cfg)
+                n_kgrams = _feed_group(states, cfg, g)
+                for kind, st in states.items():
+                    row = dict(zip(gcols, key))
+                    row.update(kind=kind, state=st.to_bytes(),
+                               n_rows=int(len(g)), n_kgrams=n_kgrams)
+                    rows.append(row)
             if rows:
                 yield pd.DataFrame(rows)
 
-    partials = src.mapInPandas(gen_partials, schema=schema)
-    return merge_grouped_states(partials, list(cfg.group_cols))
+    partials = stage1_in.mapInPandas(gen_partials, schema=schema)
+    return merge_grouped_states(partials, gcols)
 
 
 def sketch_metrics(sketches: DataFrame) -> DataFrame:

@@ -27,11 +27,13 @@ def _signature(repo: str, j: int) -> str:
 
 
 def make_source_files(n_repos: int = 3, files_per_repo: int = 20,
-                      seed: int = 42, mega_repo_factor: int = 1) -> pd.DataFrame:
+                      seed: int = 42, mega_repo_factor: int = 1,
+                      tokens_per_file: int = 40) -> pd.DataFrame:
     """Token-soup corpus: shared vocabulary + per-repo signature k-grams.
 
     ``mega_repo_factor`` > 1 inflates repo 0 to exercise skew/salting
-    (FIXTURES.md: one mega-repo holding ~40% of rows).
+    (FIXTURES.md: one mega-repo holding ~40% of rows);
+    ``tokens_per_file`` scales per-file content for throughput benches.
     """
     rng = np.random.default_rng(seed)
     rows = []
@@ -40,7 +42,7 @@ def make_source_files(n_repos: int = 3, files_per_repo: int = 20,
         nf = files_per_repo * (mega_repo_factor if i == 0 else 1)
         for f in range(nf):
             lang = LANGS[int(rng.integers(0, len(LANGS)))]
-            toks = list(rng.choice(_VOCAB, size=40))
+            toks = list(rng.choice(_VOCAB, size=tokens_per_file))
             # plant signatures: sig 0..4 appear often (>= min_count),
             # sig 900 appears once (below-threshold variant)
             for j in range(5):

@@ -262,3 +262,15 @@ def test_kll_serialization_roundtrip():
     assert back.n_items == st.n_items
     assert [a.tolist() for a in back.levels] == [a.tolist() for a in st.levels]
     assert back.coins == st.coins
+
+
+def test_murmur3_sliding_matches_window_matrix():
+    from kwage_spark.kernels.murmur3 import murmur3_32_sliding
+    data = np.frombuffer(b"sliding-window murmur equivalence test 0123456789!", dtype=np.uint8)
+    for k in (4, 5, 7, 8, 11, 16):
+        seeds = np.arange(5, dtype=np.uint32)
+        want = murmur3_32_multiseed(windows_of(bytes(data), k), seeds)
+        got = murmur3_32_sliding(data, k, seeds)
+        assert np.array_equal(got, want), k
+    # shorter than k -> empty
+    assert murmur3_32_sliding(data[:3], 8, np.arange(2, dtype=np.uint32)).shape == (0, 2)

@@ -1,0 +1,74 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast, shuffle count.
+
+These tests encode the scale contract: at 100 TB the wrong plan is a
+correctness bug. They run on sf0.001 (plan shape is sf-invariant)."""
+
+import pytest
+
+from kwage_spark.config import SketchConfig
+from kwage_spark.operators.ingest import build_sketches
+from kwage_spark.operators.search import containment_search
+from kwage_spark.plans.inspect import (
+    count_exchanges, has_broadcast_join, has_wholestage_codegen,
+    physical_plan, pushed_filters, scan_read_schema)
+from kwage_spark.queries import spark_queries
+from kwage_spark.queries_sketch import DOC_CFG
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    q = spark_queries()["filter_lang_isin"](spark, SF)
+    pf = pushed_filters(q)
+    assert "lang" in pf and "In" in pf, pf
+
+
+def test_column_pruning_on_projection(spark):
+    q = spark_queries()["filter_min_length"](spark, SF)
+    rs = scan_read_schema(q)
+    assert "text" not in rs, f"scan reads text for a doc_id projection: {rs}"
+
+
+def test_ingest_prunes_unused_columns(spark):
+    """The sketch build must scan only group cols + content, never e.g.
+    commit/path/content_sha256 (SURVEY: column pruning into the UDF)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = build_sketches(docs, DOC_CFG)
+    rs = scan_read_schema(sk)
+    assert "doc_id" not in rs and "n_chars" not in rs, rs
+
+
+def test_search_has_no_shuffle(spark):
+    """Query-time scan is partition-local: broadcast query + mapInPandas,
+    zero shuffle exchanges before the final result sort (SURVEY §4.2)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = build_sketches(docs, DOC_CFG)
+    res = containment_search(sk, [(0, "table value part hash")], DOC_CFG,
+                             threshold=0.5)
+    # the only exchange allowed is the one feeding the global orderBy of
+    # the (tiny) result set, plus the ingest's own state merge
+    plan = physical_plan(res)
+    n_ex = count_exchanges(res)
+    assert n_ex <= 2, f"unexpected shuffles ({n_ex}):\n{plan}"
+
+
+def test_small_dim_join_broadcasts(spark):
+    q = spark_queries()["metadata_lookup_join"](spark, SF)
+    assert has_broadcast_join(q), physical_plan(q)
+
+
+def test_semi_join_broadcasts_small_side(spark):
+    q = spark_queries()["semi_join_include"](spark, SF)
+    # AQE/stats should broadcast at this scale; assert no full sort-merge
+    plan = physical_plan(q)
+    assert "SortMergeJoin" not in plan or "Broadcast" in plan, plan
+
+
+def test_relational_queries_use_codegen(spark):
+    q = spark_queries()["q1_pricing_summary"](spark, SF)
+    assert has_wholestage_codegen(q)
+
+
+def test_exact_containment_broadcasts_query_grams(spark):
+    q = spark_queries()["exact_containment_flagship"](spark, SF)
+    assert has_broadcast_join(q), physical_plan(q)

@@ -1,0 +1,128 @@
+"""Two-parallelism scaling evidence → BENCH/BASELINE.md.
+
+The north-rule's N vs 4N executor criterion can't use a real cluster in
+this sandbox; per BASELINE.md we run the identical spark-submit job on the
+identical input at local[8] and local[32] and report throughput at both
+plus scaling efficiency = (T_8 / T_32) / 4.
+
+Usage: python tools/bench_scaling.py [--files 40000] [--low 8 --high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_corpus(path: str, n_files: int, tokens: int = 200) -> None:
+    """Deterministic bench corpus, written once and reused by both runs."""
+    from kwage_spark.sources.fixtures import make_source_files
+    from kwage_spark.sources.session import get_spark
+    n_repos = max(50, n_files // 100)
+    files_per_repo = max(1, n_files // n_repos)
+    spark = get_spark(app="bench_corpus", master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    pdf = make_source_files(n_repos=n_repos, files_per_repo=files_per_repo,
+                            mega_repo_factor=4, tokens_per_file=tokens)
+    spark.createDataFrame(pdf).repartition(128).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def zip_package(dest: str) -> None:
+    with zipfile.ZipFile(dest, "w") as z:
+        pkg = os.path.join(REPO, "kwage_spark")
+        for root, _dirs, names in os.walk(pkg):
+            for n in names:
+                if n.endswith(".py"):
+                    full = os.path.join(root, n)
+                    z.write(full, os.path.relpath(full, REPO))
+
+
+def run_level(cores: int, corpus: str, pyfiles: str, searches: int) -> dict:
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={cores}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", pyfiles,
+        os.path.join(REPO, "jobs", "ingest_bench_job.py"),
+        "--input", corpus, "--searches", str(searches),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800,
+                         check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=120000)
+    ap.add_argument("--tokens", type=int, default=200)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--searches", type=int, default=16)
+    ap.add_argument("--corpus", default=None)
+    args = ap.parse_args()
+
+    corpus = args.corpus or os.path.join(tempfile.gettempdir(), "kwage_bench_corpus")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        print(f"generating corpus ({args.files} files x {args.tokens} tokens) -> {corpus}", file=sys.stderr)
+        make_corpus(corpus, args.files, args.tokens)
+
+    pyfiles = os.path.join(tempfile.gettempdir(), "kwage_spark.zip")
+    zip_package(pyfiles)
+
+    lo = run_level(args.low, corpus, pyfiles, args.searches)
+    hi = run_level(args.high, corpus, pyfiles, args.searches)
+
+    def eff(key: str) -> float:
+        speedup = lo[key] / hi[key]
+        return speedup / (args.high / args.low)
+
+    e_ing, e_srch = eff("ingest_sec"), eff("search_sec")
+    report = {
+        "low": lo, "high": hi,
+        "scaling_efficiency_ingest": round(e_ing, 3),
+        "scaling_efficiency_search": round(e_srch, 3),
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured throughput + scaling evidence
+
+Same spark-submit job (`jobs/ingest_bench_job.py`, shipped via
+`--py-files kwage_spark.zip`), same deterministic corpus
+({lo['n_files']} files, {lo['n_groups']} sketch groups), two parallelism
+levels standing in for N vs 4N executors (no real cluster in this
+sandbox, per BASELINE.md).
+
+| level | cores | ingest sec | ingest files/sec | search sec | search scans/sec |
+|---|---|---|---|---|---|
+| low  | {lo['cores']} | {lo['ingest_sec']} | {lo['ingest_files_per_sec']} | {lo['search_sec']} | {lo['search_scans_per_sec']} |
+| high | {hi['cores']} | {hi['ingest_sec']} | {hi['ingest_files_per_sec']} | {hi['search_sec']} | {hi['search_scans_per_sec']} |
+
+Scaling efficiency = (T_low / T_high) / (cores_high / cores_low):
+
+* ingest: **{e_ing:.3f}**
+* search: **{e_srch:.3f}**
+
+Target ≥ 0.8 (north rule). The ingest stage is embarrassingly parallel
+(map-side partial sketches; shuffle volume = states only), so efficiency
+is bounded by Spark's fixed per-job overhead amortized over corpus size —
+rerun with a larger `--files` for asymptotic numbers.
+""")
+    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
