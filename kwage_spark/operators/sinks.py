@@ -1,0 +1,59 @@
+"""Search-result sinks — CSV (S11, `output.h:35-59`) and BIGSI-python-
+compatible JSON (S12, `output.h:61-112`).
+
+Field names and shapes follow the reference: per-query records carry
+``num_kmers``, ``num_kmers_found``, ``percent_kmers_found`` plus the
+group metadata; JSON keys mirror BIGSI-python's results format, with the
+threshold rendered at fixed 1-decimal precision (`output.h:75-82`).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_results_csv(results: DataFrame, path: str,
+                      group_cols: list[str] | None = None) -> None:
+    """query,num_kmers,num_kmers_found,percent_kmers_found,<metadata...>"""
+    gcols = group_cols or [c for c in results.columns
+                           if c not in ("query_id", "num_kmers",
+                                        "num_kmers_found", "percent_kmers_found")]
+    cols = ["query_id", "num_kmers", "num_kmers_found",
+            "percent_kmers_found"] + gcols
+    (results.select(*cols)
+     .write.mode("overwrite").option("header", True).csv(path))
+
+
+def results_to_bigsi_json(results: DataFrame, threshold: float,
+                          group_cols: list[str] | None = None) -> str:
+    """Driver-side JSON string in BIGSI-python results shape:
+    {query_id: {"threshold": "0.5", "results": [{sample metadata,
+    percent_kmers_found, num_kmers, num_kmers_found}, ...]}}
+    Result lists keep descending num_kmers_found order (Q8)."""
+    gcols = group_cols or [c for c in results.columns
+                           if c not in ("query_id", "num_kmers",
+                                        "num_kmers_found", "percent_kmers_found")]
+    rows = results.orderBy("query_id", F.desc("num_kmers_found")).collect()
+    out: dict[str, dict] = {}
+    for r in rows:
+        q = out.setdefault(str(r["query_id"]), {
+            # fixed 1-decimal threshold formatting, output.h:75-82
+            "threshold": f"{threshold:.1f}",
+            "results": [],
+        })
+        rec = {c: r[c] for c in gcols}
+        rec.update({
+            "percent_kmers_found": r["percent_kmers_found"],
+            "num_kmers": r["num_kmers"],
+            "num_kmers_found": r["num_kmers_found"],
+        })
+        q["results"].append(rec)
+    return json.dumps(out, sort_keys=True)
+
+
+def write_results_json(results: DataFrame, path: str) -> None:
+    """Distributed JSON-lines sink for large result sets."""
+    results.write.mode("overwrite").json(path)
