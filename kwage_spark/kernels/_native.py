@@ -1,0 +1,258 @@
+"""Optional native murmur3 kernel (ctypes, lazily compiled with cc -O3).
+
+The hash loop is the single hot path of ingest (SURVEY §2.3 H1/H3/H5): the
+reference spends its time in an AVX2 8-lane murmur (`hash.cpp:239-332`);
+our pure-numpy kernel is memory-traffic-bound at a few MB/s/core, which is
+the wrong side of a 100 TB job. This module compiles a ~60-line C
+implementation at first use and exposes it through ctypes. Everything is
+OPTIONAL: if no C compiler is present (or ``KWAGE_DISABLE_NATIVE=1``),
+callers in ``murmur3.py`` fall back to the numpy path, which is
+bit-identical (tested in tests/test_kernels.py::test_native_parity).
+
+The shared object is cached under the system temp dir keyed by the sha256
+of the C source, so executor workers on one machine compile once; the
+compile itself goes to a pid-unique temp name followed by an atomic
+``os.replace`` so concurrent workers never observe a half-written .so.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_C_SOURCE = r"""
+#include <stdint.h>
+#include <stddef.h>
+
+static inline uint32_t rotl32(uint32_t x, int r) {
+    return (x << r) | (x >> (32 - r));
+}
+
+static inline uint32_t load32(const uint8_t *p) {
+    return (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+         | ((uint32_t)p[2] << 16) | ((uint32_t)p[3] << 24);
+}
+
+static inline uint32_t fmix32(uint32_t h) {
+    h ^= h >> 16; h *= 0x85ebca6bu;
+    h ^= h >> 13; h *= 0xc2b2ae35u;
+    h ^= h >> 16;
+    return h;
+}
+
+static inline uint32_t mm3_body(const uint8_t *p, int64_t len, uint32_t seed) {
+    uint32_t h1 = seed;
+    int64_t nblocks = len / 4;
+    for (int64_t b = 0; b < nblocks; b++) {
+        uint32_t k1 = load32(p + 4 * b);
+        k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+        h1 ^= k1; h1 = rotl32(h1, 13); h1 = h1 * 5u + 0xe6546b64u;
+    }
+    const uint8_t *tail = p + nblocks * 4;
+    uint32_t k1 = 0;
+    switch (len & 3) {
+        case 3: k1 ^= (uint32_t)tail[2] << 16; /* fallthrough */
+        case 2: k1 ^= (uint32_t)tail[1] << 8;  /* fallthrough */
+        case 1: k1 ^= (uint32_t)tail[0];
+                k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+                h1 ^= k1;
+    }
+    return fmix32(h1 ^ (uint32_t)len);
+}
+
+/* murmur3_32 of every k-byte window of buf, for every seed.
+   out has shape (len-k+1, nseeds), row-major.
+
+   Block b of window i spans bytes [i+4b, i+4b+4) — i.e. the mixed
+   (k1*C1, rotl15, *C2) value of block b at window i equals the mixed
+   value of block 0 at offset i+4b, and it is seed-independent. So we
+   precompute mixed values per byte-offset in chunks, then run a
+   seed-outer / window-inner fold whose iterations are independent per
+   window — the compiler vectorizes it across windows. */
+#define MM3_CHUNK 4096
+void mm3_sliding_multiseed(const uint8_t *buf, int64_t len, int64_t k,
+                           const uint32_t *seeds, int64_t nseeds,
+                           uint32_t *out) {
+    int64_t n = len - k + 1;
+    int64_t nblocks = k / 4;
+    int tailn = (int)(k & 3);
+    if (nblocks > 16) { /* rare huge-k fallback */
+        for (int64_t i = 0; i < n; i++)
+            for (int64_t s = 0; s < nseeds; s++)
+                out[i * nseeds + s] = mm3_body(buf + i, k, seeds[s]);
+        return;
+    }
+    uint32_t mixed[MM3_CHUNK + 64];
+    uint32_t tk[MM3_CHUNK];
+    for (int64_t c0 = 0; c0 < n; c0 += MM3_CHUNK) {
+        int64_t cn = n - c0 < MM3_CHUNK ? n - c0 : MM3_CHUNK;
+        int64_t nmix = nblocks ? cn + 4 * (nblocks - 1) + 1 : 0;
+        for (int64_t j = 0; j < nmix; j++) {
+            uint32_t k1 = load32(buf + c0 + j);
+            k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+            mixed[j] = k1;
+        }
+        if (tailn) {
+            const uint8_t *tp = buf + c0 + 4 * nblocks;
+            for (int64_t j = 0; j < cn; j++) {
+                uint32_t k1 = (uint32_t)tp[j];
+                if (tailn >= 2) k1 ^= (uint32_t)tp[j + 1] << 8;
+                if (tailn == 3) k1 ^= (uint32_t)tp[j + 2] << 16;
+                k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+                tk[j] = k1;
+            }
+        }
+        for (int64_t s = 0; s < nseeds; s++) {
+            uint32_t seed = seeds[s];
+            uint32_t *op = out + c0 * nseeds + s;
+            for (int64_t i = 0; i < cn; i++) {
+                uint32_t h1 = seed;
+                for (int64_t b = 0; b < nblocks; b++) {
+                    h1 ^= mixed[i + 4 * b]; h1 = rotl32(h1, 13);
+                    h1 = h1 * 5u + 0xe6546b64u;
+                }
+                if (tailn) h1 ^= tk[i];
+                op[i * nseeds] = fmix32(h1 ^ (uint32_t)k);
+            }
+        }
+    }
+}
+
+/* murmur3_32 of each fixed-width row of a (n, width) uint8 matrix. */
+void mm3_rows_multiseed(const uint8_t *buf, int64_t n, int64_t width,
+                        const uint32_t *seeds, int64_t nseeds,
+                        uint32_t *out) {
+    for (int64_t i = 0; i < n; i++)
+        for (int64_t s = 0; s < nseeds; s++)
+            out[i * nseeds + s] = mm3_body(buf + i * width, width, seeds[s]);
+}
+
+/* murmur3_32 of m variable-length strings packed in buf with m+1 offsets. */
+void mm3_batch_multiseed(const uint8_t *buf, const int64_t *offsets,
+                         int64_t m, const uint32_t *seeds, int64_t nseeds,
+                         uint32_t *out) {
+    for (int64_t i = 0; i < m; i++)
+        for (int64_t s = 0; s < nseeds; s++)
+            out[i * nseeds + s] = mm3_body(
+                buf + offsets[i], offsets[i + 1] - offsets[i], seeds[s]);
+}
+"""
+
+
+_CFLAGS = ["-O3", "-march=native", "-funroll-loops"]
+
+
+def _compile() -> str | None:
+    tag = hashlib.sha256(
+        (_C_SOURCE + " ".join(_CFLAGS)).encode()).hexdigest()[:12]
+    cache = os.path.join(tempfile.gettempdir(), f"kwage_native_{tag}")
+    so = cache + ".so"
+    if os.path.exists(so):
+        return so
+    cc = None
+    for cand in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run([cand, "--version"], capture_output=True, check=True)
+            cc = cand
+            break
+        except (OSError, subprocess.CalledProcessError):
+            continue
+    if cc is None:
+        return None
+    csrc = f"{cache}.{os.getpid()}.c"
+    tmp_so = f"{cache}.{os.getpid()}.tmp.so"
+    try:
+        with open(csrc, "w") as f:
+            f.write(_C_SOURCE)
+        try:
+            subprocess.run(
+                [cc, *_CFLAGS, "-fPIC", "-shared", "-o", tmp_so, csrc],
+                capture_output=True, check=True, timeout=120)
+        except subprocess.CalledProcessError:
+            # -march=native unsupported on some toolchains: portable retry
+            subprocess.run(
+                [cc, "-O3", "-fPIC", "-shared", "-o", tmp_so, csrc],
+                capture_output=True, check=True, timeout=120)
+        os.replace(tmp_so, so)  # atomic: concurrent workers race safely
+        return so
+    except (OSError, subprocess.CalledProcessError, subprocess.TimeoutExpired):
+        return None
+    finally:
+        for p in (csrc, tmp_so):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+
+_lib = None
+HAVE_NATIVE = False
+
+if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
+    _so_path = _compile()
+    if _so_path is not None:
+        try:
+            _lib = ctypes.CDLL(_so_path)
+            for fn in ("mm3_sliding_multiseed", "mm3_rows_multiseed",
+                       "mm3_batch_multiseed"):
+                getattr(_lib, fn).restype = None
+            _lib.mm3_sliding_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            _lib.mm3_rows_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            _lib.mm3_batch_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            HAVE_NATIVE = True
+        except OSError:
+            _lib = None
+            HAVE_NATIVE = False
+
+
+def sliding_multiseed(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
+    """(len-k+1, nseeds) uint32 — native path; caller checked HAVE_NATIVE."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    n = buf.shape[0] - k + 1
+    out = np.empty((max(n, 0), seeds.shape[0]), dtype=np.uint32)
+    if n > 0:
+        _lib.mm3_sliding_multiseed(
+            buf.ctypes.data, buf.shape[0], k,
+            seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
+    return out
+
+
+def rows_multiseed(rows: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """(n, nseeds) uint32 for a (n, width) uint8 matrix — native path."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint8)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    n, width = rows.shape
+    out = np.empty((n, seeds.shape[0]), dtype=np.uint32)
+    if n > 0:
+        _lib.mm3_rows_multiseed(
+            rows.ctypes.data, n, width,
+            seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
+    return out
+
+
+def batch_multiseed(buf: np.ndarray, offsets: np.ndarray,
+                    seeds: np.ndarray) -> np.ndarray:
+    """(m, nseeds) uint32 for m packed variable-length strings."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    m = offsets.shape[0] - 1
+    out = np.empty((max(m, 0), seeds.shape[0]), dtype=np.uint32)
+    if m > 0:
+        _lib.mm3_batch_multiseed(
+            buf.ctypes.data, offsets.ctypes.data, m,
+            seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
+    return out

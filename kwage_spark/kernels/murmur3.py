@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _native
+
 _C1 = np.uint32(0xCC9E2D51)
 _C2 = np.uint32(0x1B873593)
 _M5 = np.uint32(5)
@@ -45,6 +47,8 @@ def murmur3_32_multiseed(windows: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     windows = np.ascontiguousarray(windows, dtype=np.uint8)
     n, length = windows.shape
     seeds = np.asarray(seeds, dtype=np.uint32)
+    if _native.HAVE_NATIVE and n:
+        return _native.rows_multiseed(windows, seeds)
     nblocks = length // 4
 
     with _err:
@@ -107,6 +111,8 @@ def murmur3_32_sliding(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray
     seeds = np.asarray(seeds, dtype=np.uint32)
     if n <= 0:
         return np.empty((0, seeds.shape[0]), dtype=np.uint32)
+    if _native.HAVE_NATIVE:
+        return _native.sliding_multiseed(buf, k, seeds)
     nblocks = k // 4
     b32 = buf.astype(np.uint32)
     with _err:

@@ -274,3 +274,46 @@ def test_murmur3_sliding_matches_window_matrix():
         assert np.array_equal(got, want), k
     # shorter than k -> empty
     assert murmur3_32_sliding(data[:3], 8, np.arange(2, dtype=np.uint32)).shape == (0, 2)
+
+
+def test_native_kernel_parity_with_numpy():
+    """The ctypes-compiled murmur kernel must be bit-identical to the
+    pure-numpy reference path (which itself matches the scalar goldens)."""
+    from kwage_spark.kernels import _native
+    from kwage_spark.kernels.murmur3 import (
+        murmur3_32_multiseed, murmur3_32_sliding)
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+    data = np.frombuffer(RNG.bytes(4096), dtype=np.uint8)
+    seeds = np.asarray([0, 1, 2, 7, 0xDEADBEEF], dtype=np.uint32)
+    try:
+        _native.HAVE_NATIVE = False  # force the numpy reference path
+        for k in (4, 5, 6, 7, 8, 12, 13, 31, 70):
+            want_slide = murmur3_32_sliding(data, k, seeds)
+            w = np.ascontiguousarray(windows_of(bytes(data[:600]), k))
+            want_rows = murmur3_32_multiseed(w, seeds)
+            _native.HAVE_NATIVE = True
+            assert np.array_equal(
+                _native.sliding_multiseed(data, k, seeds), want_slide), k
+            assert np.array_equal(
+                _native.rows_multiseed(w, seeds), want_rows), k
+            _native.HAVE_NATIVE = False
+    finally:
+        _native.HAVE_NATIVE = True
+
+
+def test_native_batch_multiseed_variable_lengths():
+    from kwage_spark.kernels import _native
+    from kwage_spark.kernels.murmur3 import murmur3_32
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+    strings = [b"", b"a", b"abcd", b"hello world", RNG.bytes(100)]
+    buf = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    offsets = np.cumsum([0] + [len(s) for s in strings]).astype(np.int64)
+    seeds = np.asarray([0, 3], dtype=np.uint32)
+    out = _native.batch_multiseed(buf, offsets, seeds)
+    for i, s in enumerate(strings):
+        for j, seed in enumerate((0, 3)):
+            assert out[i, j] == murmur3_32(s, seed), (i, seed)
