@@ -47,6 +47,20 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
 
+    # Warm the JVM (codegen, shuffle machinery) and the Python worker pool
+    # on the smallest SF so cold-start isn't charged to the first timed
+    # query — a long-lived cluster never pays it per query.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and warm_sf != sf_dir:
+        warm_cat = spark_queries()
+        for name in SQL_BENCH:
+            try:
+                warm_cat[name](spark, warm_sf).count()
+            except Exception:
+                pass
+        _materialize(build_sketches(
+            spark.read.parquet(f"{warm_sf}/documents.parquet"), DOC_CFG))
+
     # -- ingest: build all 4 sketch families per (source, lang)
     t0 = time.perf_counter()
     sk = build_sketches(docs, DOC_CFG)

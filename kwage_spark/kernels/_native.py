@@ -133,6 +133,25 @@ void mm3_rows_multiseed(const uint8_t *buf, int64_t n, int64_t width,
             out[i * nseeds + s] = mm3_body(buf + i * width, width, seeds[s]);
 }
 
+/* sliding multiseed over m variable-length strings packed in buf with m+1
+   offsets: window hashes of string i occupy rows [sum_j<i max(len_j-k+1,0),
+   ...) of out — i.e. per-string results concatenated, never crossing a
+   string boundary. */
+void mm3_sliding_batch_multiseed(const uint8_t *buf, const int64_t *offsets,
+                                 int64_t m, int64_t k,
+                                 const uint32_t *seeds, int64_t nseeds,
+                                 uint32_t *out) {
+    int64_t row = 0;
+    for (int64_t i = 0; i < m; i++) {
+        int64_t len = offsets[i + 1] - offsets[i];
+        int64_t n = len - k + 1;
+        if (n <= 0) continue;
+        mm3_sliding_multiseed(buf + offsets[i], len, k, seeds, nseeds,
+                              out + row * nseeds);
+        row += n;
+    }
+}
+
 /* murmur3_32 of m variable-length strings packed in buf with m+1 offsets. */
 void mm3_batch_multiseed(const uint8_t *buf, const int64_t *offsets,
                          int64_t m, const uint32_t *seeds, int64_t nseeds,
@@ -141,6 +160,49 @@ void mm3_batch_multiseed(const uint8_t *buf, const int64_t *offsets,
         for (int64_t s = 0; s < nseeds; s++)
             out[i * nseeds + s] = mm3_body(
                 buf + offsets[i], offsets[i + 1] - offsets[i], seeds[s]);
+}
+
+/* ---- sketch update scatter loops (consume a (n, stride) uint32 hash
+   matrix, one row per item, lane s = seed s) ---- */
+
+/* Bloom insert: set bits h_0..h_{lanes-1} & (2^log2m - 1). */
+void bloom_scatter(uint8_t *bits, int64_t log2m, const uint32_t *h,
+                   int64_t n, int64_t stride, int64_t lanes) {
+    uint32_t mask = (uint32_t)((1ull << log2m) - 1);
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t *row = h + i * stride;
+        for (int64_t s = 0; s < lanes; s++) {
+            uint32_t b = row[s] & mask;
+            bits[b >> 3] |= (uint8_t)(1u << (b & 7));
+        }
+    }
+}
+
+/* HLL register max-update; 64-bit hash composed from lanes 0 and 1. */
+void hll_update(uint8_t *reg, int64_t p, const uint32_t *h,
+                int64_t n, int64_t stride) {
+    int shift = 64 - (int)p;
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t *row = h + i * stride;
+        uint64_t v = ((uint64_t)row[0] << 32) | (uint64_t)row[1];
+        uint64_t idx = v >> shift;
+        uint64_t rest = v << p;
+        uint8_t rho = rest ? (uint8_t)(__builtin_clzll(rest) + 1)
+                           : (uint8_t)(shift + 1);
+        if (rho > reg[idx]) reg[idx] = rho;
+    }
+}
+
+/* CMS histogram add: row r of the table uses hash lane r. */
+void cms_update(uint64_t *table, int64_t depth, int64_t log2w,
+                const uint32_t *h, int64_t n, int64_t stride) {
+    uint32_t mask = (uint32_t)((1u << log2w) - 1);
+    int64_t w = (int64_t)1 << log2w;
+    for (int64_t i = 0; i < n; i++) {
+        const uint32_t *row = h + i * stride;
+        for (int64_t r = 0; r < depth; r++)
+            table[r * w + (row[r] & mask)]++;
+    }
 }
 """
 
@@ -200,11 +262,23 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
         try:
             _lib = ctypes.CDLL(_so_path)
             for fn in ("mm3_sliding_multiseed", "mm3_rows_multiseed",
-                       "mm3_batch_multiseed"):
+                       "mm3_batch_multiseed", "mm3_sliding_batch_multiseed",
+                       "bloom_scatter", "hll_update", "cms_update"):
                 getattr(_lib, fn).restype = None
+            _i64 = ctypes.c_int64
+            _lib.bloom_scatter.argtypes = [
+                ctypes.c_void_p, _i64, ctypes.c_void_p, _i64, _i64, _i64]
+            _lib.hll_update.argtypes = [
+                ctypes.c_void_p, _i64, ctypes.c_void_p, _i64, _i64]
+            _lib.cms_update.argtypes = [
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p, _i64, _i64]
             _lib.mm3_sliding_multiseed.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            _lib.mm3_sliding_batch_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p]
             _lib.mm3_rows_multiseed.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -241,6 +315,51 @@ def rows_multiseed(rows: np.ndarray, seeds: np.ndarray) -> np.ndarray:
             rows.ctypes.data, n, width,
             seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
     return out
+
+
+def sliding_batch_multiseed(buf: np.ndarray, offsets: np.ndarray, k: int,
+                            seeds: np.ndarray) -> np.ndarray:
+    """Concatenated per-string sliding-window hashes (no boundary windows).
+    Returns (sum_i max(len_i-k+1, 0), nseeds) uint32 — native path."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    lens = np.diff(offsets)
+    n_out = int(np.maximum(lens - k + 1, 0).sum())
+    out = np.empty((n_out, seeds.shape[0]), dtype=np.uint32)
+    if n_out > 0:
+        _lib.mm3_sliding_batch_multiseed(
+            buf.ctypes.data, offsets.ctypes.data, offsets.shape[0] - 1, k,
+            seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
+    return out
+
+
+def _lane_matrix(hashes: np.ndarray) -> tuple[np.ndarray, int]:
+    """(array, row-stride-in-elements) for a uint32 hash-lane matrix whose
+    columns are contiguous (any row-major column slice qualifies)."""
+    if (hashes.ndim != 2 or hashes.dtype != np.uint32
+            or hashes.strides[1] != 4 or hashes.strides[0] % 4):
+        raise ValueError("need row-major uint32 lane matrix")
+    return hashes, hashes.strides[0] // 4
+
+
+def bloom_scatter(bits: np.ndarray, log2_m: int, hashes: np.ndarray,
+                  lanes: int) -> None:
+    h, stride = _lane_matrix(hashes)
+    _lib.bloom_scatter(bits.ctypes.data, log2_m, h.ctypes.data,
+                       h.shape[0], stride, lanes)
+
+
+def hll_update(registers: np.ndarray, p: int, hashes: np.ndarray) -> None:
+    h, stride = _lane_matrix(hashes)
+    _lib.hll_update(registers.ctypes.data, p, h.ctypes.data,
+                    h.shape[0], stride)
+
+
+def cms_update(table: np.ndarray, log2_w: int, hashes: np.ndarray) -> None:
+    h, stride = _lane_matrix(hashes)
+    _lib.cms_update(table.ctypes.data, table.shape[0], log2_w,
+                    h.ctypes.data, h.shape[0], stride)
 
 
 def batch_multiseed(buf: np.ndarray, offsets: np.ndarray,

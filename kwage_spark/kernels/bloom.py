@@ -25,6 +25,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from . import _native
+
 MIN_NUM_HASH = 1  # bloom.h:20
 MAX_NUM_HASH = 5  # bloom.h:21
 MIN_LOG2_M = 10
@@ -112,6 +114,14 @@ class BloomState:
     def add_hashes(self, hashes: np.ndarray, n_new_items: int | None = None) -> "BloomState":
         """Set bits for a (n, num_hash) uint32 hash matrix — vectorized A1."""
         if hashes.size:
+            if (_native.HAVE_NATIVE and hashes.ndim == 2
+                    and hashes.dtype == np.uint32 and hashes.strides[1] == 4
+                    and hashes.strides[0] % 4 == 0):
+                _native.bloom_scatter(self.bits, self.params.log2_m,
+                                      hashes, hashes.shape[1])
+                self.n_items += (int(hashes.shape[0]) if n_new_items is None
+                                 else n_new_items)
+                return self
             idx = hashes.astype(np.uint32) & np.uint32(self.params.m - 1)
             flat = idx.ravel()
             if flat.size * 8 >= self.params.m:

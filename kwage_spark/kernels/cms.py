@@ -21,6 +21,7 @@ import zlib
 
 import numpy as np
 
+from . import _native
 from .murmur3 import murmur3_32_multiseed
 
 _MAGIC = 0x4B57434D  # "KWCM"
@@ -53,6 +54,13 @@ class CMSState:
                    counts: np.ndarray | None = None) -> "CMSState":
         """Add pre-hashed items: (n, >=depth) uint32 lanes (seed r = r)."""
         if hashes.shape[0]:
+            if (counts is None and _native.HAVE_NATIVE
+                    and hashes.dtype == np.uint32 and hashes.ndim == 2
+                    and hashes.strides[1] == 4 and hashes.strides[0] % 4 == 0
+                    and hashes.shape[1] >= self.depth):
+                _native.cms_update(self.table, self.log2_w, hashes)
+                self.n_total += int(hashes.shape[0])
+                return self
             idx = hashes[:, : self.depth] & np.uint32(self.w - 1)
             c = (None if counts is None else counts.astype(np.int64))
             for r in range(self.depth):

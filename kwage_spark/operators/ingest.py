@@ -48,7 +48,7 @@ from ..kernels.bloom import BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
-from ..kernels.murmur3 import murmur3_32_sliding
+from ..kernels.murmur3 import murmur3_32_sliding_batch
 from .merge import merge_grouped_states
 
 
@@ -85,26 +85,19 @@ def _feed_group(states: dict[str, object], cfg: SketchConfig,
     Returns the number of k-grams seen."""
     lanes = _hash_lanes(cfg)
     seeds = np.arange(lanes, dtype=np.uint32)
-    sizes = []
-    hs = []
-    n_kgrams = 0
-    for content in g[cfg.content_col].to_numpy():
-        raw = content.encode("utf-8", "surrogatepass") if isinstance(content, str) else content
-        sizes.append(len(content))
-        n_kgrams += max(0, len(raw) - cfg.k + 1)
-        if lanes and len(raw) >= cfg.k:
-            # sliding-window murmur straight off the byte buffer — no
-            # (n, k) window matrix is ever materialized
-            hs.append(murmur3_32_sliding(
-                np.frombuffer(raw, dtype=np.uint8), cfg.k, seeds))
-    if hs:
-        H = hs[0] if len(hs) == 1 else np.concatenate(hs)
+    contents = g[cfg.content_col].to_numpy()
+    raws = [c.encode("utf-8", "surrogatepass") if isinstance(c, str) else c
+            for c in contents]
+    sizes = [len(c) for c in contents]
+    n_kgrams = int(sum(max(0, len(r) - cfg.k + 1) for r in raws))
+    if lanes and n_kgrams:
+        # ONE sliding-murmur kernel call for the whole group's contents —
+        # windows never cross row boundaries; no (n, k) matrix materialized
+        H = murmur3_32_sliding_batch(raws, cfg.k, seeds)
         if KIND_BLOOM in states:
             states[KIND_BLOOM].add_hashes(H[:, : cfg.bloom.num_hash])
         if KIND_HLL in states:
-            h64 = ((H[:, 0].astype(np.uint64) << np.uint64(32))
-                   | H[:, 1].astype(np.uint64))
-            states[KIND_HLL].add_hashes64(h64)
+            states[KIND_HLL].add_hash_lanes(H)
         if KIND_CMS in states:
             states[KIND_CMS].add_hashes(H)
     if KIND_KLL in states:
@@ -140,17 +133,37 @@ def _select_inputs(df: DataFrame, cfg: SketchConfig) -> DataFrame:
     return df.select(*cols)
 
 
-def choose_combine(src: DataFrame, cfg: SketchConfig,
-                   n_partitions: int) -> str:
-    """Cost-based strategy pick: compare estimated shuffle volumes."""
+# target bytes of raw content per shuffle partition in "raw" mode: small
+# enough that a reducer's Arrow batches + states fit executor memory with
+# room to spare, large enough to amortize task overhead
+RAW_PARTITION_BYTES = 64 << 20
+
+
+def corpus_stats(src: DataFrame, cfg: SketchConfig) -> tuple[int, int, int]:
+    """(n_rows, n_groups≈, content_bytes) — one narrow aggregation. On a
+    real deployment read these from table/column statistics instead."""
     stats = src.agg(
         F.count("*").alias("n_rows"),
         F.approx_count_distinct(
             F.concat_ws("\x00", *cfg.group_cols)).alias("n_groups"),
         F.sum(F.length(cfg.content_col)).alias("content_bytes")).first()
-    n_rows = stats["n_rows"] or 0
-    n_groups = max(stats["n_groups"] or 1, 1)
-    content_bytes = stats["content_bytes"] or 0
+    return (stats["n_rows"] or 0, max(stats["n_groups"] or 1, 1),
+            stats["content_bytes"] or 0)
+
+
+def raw_shuffle_partitions(content_bytes: int, floor: int) -> int:
+    """Shuffle width for raw mode, sized by DATA VOLUME, not cores: a
+    fixed spark.sql.shuffle.partitions makes reducer blocks grow linearly
+    with the corpus until netty direct memory blows — partition count must
+    scale with bytes (≈64 MB each), bounded below by the session default."""
+    return max(floor, min(int(content_bytes // RAW_PARTITION_BYTES) + 1, 16384))
+
+
+def choose_combine(src: DataFrame, cfg: SketchConfig,
+                   n_partitions: int,
+                   stats: tuple[int, int, int] | None = None) -> str:
+    """Cost-based strategy pick: compare estimated shuffle volumes."""
+    n_rows, n_groups, content_bytes = stats or corpus_stats(src, cfg)
     partial_bytes = min(n_groups * n_partitions, n_rows) * state_bytes_per_group(cfg)
     return "partial" if partial_bytes < content_bytes else "raw"
 
@@ -166,8 +179,10 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
     src = _select_inputs(df, cfg)
     spark = df.sparkSession
     n_shuffle = int(repartition or spark.conf.get("spark.sql.shuffle.partitions"))
+    stats = None
     if combine == "auto":
-        combine = choose_combine(src, cfg, n_shuffle)
+        stats = corpus_stats(src, cfg)
+        combine = choose_combine(src, cfg, n_shuffle, stats)
     gcols = list(cfg.group_cols)
     schema = sketch_schema(cfg)
 
@@ -176,8 +191,12 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
             src = src.repartition(repartition)
 
         def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # yield incrementally: with many tiny groups a single Arrow
+            # batch can hold thousands of groups, and a full state set is
+            # ~100 KB — buffering a whole batch's states would OOM the
+            # worker. 256 state rows ≈ tens of MB, bounded.
+            rows = []
             for pdf in batches:
-                rows = []
                 for key, g in pdf.groupby(gcols, sort=False):
                     key = key if isinstance(key, tuple) else (key,)
                     states = _new_states(cfg)
@@ -187,8 +206,11 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
                         row.update(kind=kind, state=st.to_bytes(),
                                    n_rows=int(len(g)), n_kgrams=n_kgrams)
                         rows.append(row)
-                if rows:
-                    yield pd.DataFrame(rows)
+                    if len(rows) >= 256:
+                        yield pd.DataFrame(rows)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows)
 
         partials = src.mapInPandas(gen_partials, schema=schema)
         return merge_grouped_states(partials, gcols)
@@ -196,6 +218,12 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
     if combine != "raw":
         raise ValueError(f"unknown combine mode {combine!r}")
 
+    if repartition is None:
+        # scale the shuffle width with content volume (one narrow stats
+        # scan unless the caller already supplied partitioning)
+        if stats is None:
+            stats = corpus_stats(src, cfg)
+        n_shuffle = raw_shuffle_partitions(stats[2], n_shuffle)
     keyed = src.repartition(n_shuffle, *gcols)
 
     def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

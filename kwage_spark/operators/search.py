@@ -27,8 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import KIND_BLOOM, SketchConfig
-from ..kernels.bloom import BloomState
+from ..kernels.bloom import _HDR, BloomState
 from ..kernels.shingle import unique_query_hashes
+
+_ = BloomState  # re-exported for callers that parse single states
 
 RESULT_SCHEMA_TAIL = ("query_id long, num_kmers long, num_kmers_found long, "
                       "percent_kmers_found double")
@@ -55,34 +57,62 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
     prepared = prepare_queries(queries, cfg)
     gcols = list(cfg.group_cols)
     sc = sketches.sparkSession.sparkContext
-    bq = sc.broadcast(prepared)
+    # broadcast pre-masked bit indices, not raw hashes: executors do zero
+    # per-query prep (≙ broadcasting the query's slice-index set, Q2)
+    mask = np.uint32(cfg.bloom.m - 1)
+    bq = sc.broadcast([
+        (int(qid), (h.astype(np.uint32) & mask), int(h.shape[0]))
+        for qid, h in prepared])
+    hdr_size = _HDR.size  # BloomState header prefix before raw bits
+    n_bytes = cfg.bloom.n_bytes
+    num_hash = cfg.bloom.num_hash
     schema = ", ".join(f"{c} string" for c in gcols) + ", " + RESULT_SCHEMA_TAIL
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Whole-batch matrix scan: stack the batch's filters into a
+        # (rows, m/8) byte matrix once, then per query gather + AND over
+        # seeds + popcount as single numpy expressions — the vectorized
+        # form of the reference's per-filter count loop (Q2-Q5). CRC is
+        # not re-verified here, matching the reference's read path, which
+        # checksums at build/merge time only.
         qs = bq.value
         for pdf in batches:
-            out: dict[str, list] = {c: [] for c in gcols}
-            out.update(query_id=[], num_kmers=[], num_kmers_found=[],
-                       percent_kmers_found=[])
-            for row in pdf.itertuples(index=False):
-                st = BloomState.from_bytes(row.state)
-                for qid, hashes in qs:
-                    n_unique = int(hashes.shape[0])
-                    if n_unique == 0:      # F10: silent no-match
-                        continue
-                    hits = st.contains_hashes(hashes)
-                    found = int(hits.sum())
-                    q_threshold = int(threshold * n_unique)  # kwage.cpp:388
-                    if not emit_all and found < q_threshold:
-                        continue
-                    for c in gcols:
-                        out[c].append(getattr(row, c))
-                    out["query_id"].append(qid)
-                    out["num_kmers"].append(n_unique)
-                    out["num_kmers_found"].append(found)
-                    out["percent_kmers_found"].append(100.0 * found / n_unique)
-            if out["query_id"]:
-                yield pd.DataFrame(out)
+            n = len(pdf)
+            if n == 0:
+                continue
+            B = np.empty((n, n_bytes), dtype=np.uint8)
+            for i, s in enumerate(pdf["state"].to_numpy()):
+                B[i] = np.frombuffer(s, dtype=np.uint8, count=n_bytes,
+                                     offset=hdr_size)
+            gvals = {c: pdf[c].to_numpy() for c in gcols}
+            frames = []
+            for qid, idx, n_unique in qs:
+                if n_unique == 0:          # F10: silent no-match
+                    continue
+                q_threshold = int(threshold * n_unique)  # kwage.cpp:388
+                flat = idx.ravel()
+                byte_idx = (flat >> np.uint32(3)).astype(np.int64)
+                bit_shift = (flat & np.uint32(7)).astype(np.uint8)
+                found = np.empty(n, dtype=np.int64)
+                # bound the gather scratch to ~16 MB per chunk
+                chunk = max(1, (1 << 24) // max(flat.size, 1))
+                for r0 in range(0, n, chunk):
+                    sub = B[r0:r0 + chunk]
+                    g = (sub[:, byte_idx] >> bit_shift) & np.uint8(1)
+                    hits = g.reshape(sub.shape[0], n_unique, num_hash).all(axis=2)
+                    found[r0:r0 + sub.shape[0]] = hits.sum(axis=1)
+                sel = (np.arange(n) if emit_all
+                       else np.nonzero(found >= q_threshold)[0])
+                if sel.size == 0:
+                    continue
+                f = {c: gvals[c][sel] for c in gcols}
+                f["query_id"] = np.full(sel.size, qid, dtype=np.int64)
+                f["num_kmers"] = np.full(sel.size, n_unique, dtype=np.int64)
+                f["num_kmers_found"] = found[sel]
+                f["percent_kmers_found"] = 100.0 * found[sel] / n_unique
+                frames.append(pd.DataFrame(f))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     bloom_rows = sketches.filter(F.col("kind") == KIND_BLOOM)
     res = bloom_rows.mapInPandas(scan, schema=schema)
@@ -101,19 +131,22 @@ def exact_containment(files: DataFrame, queries: Sequence[tuple[int, str]],
     gcols = list(cfg.group_cols)
     qdf = files.sparkSession.createDataFrame(
         [(int(q), s) for q, s in queries], "query_id long, snippet string")
-    # k-grams of each file -> distinct per group
-    grams = (files
-             .select(*gcols, F.explode(F.expr(
-                 f"transform(sequence(1, greatest(length({cfg.content_col}) - {k - 1}, 0)),"
-                 f" i -> substring({cfg.content_col}, i, {k}))")).alias("gram"))
-             .distinct())
     qgrams = (qdf
               .select("query_id", F.explode(F.expr(
                   f"transform(sequence(1, greatest(length(snippet) - {k - 1}, 0)),"
                   f" i -> substring(snippet, i, {k}))")).alias("gram"))
               .distinct())
     totals = qgrams.groupBy("query_id").agg(F.count("*").alias("num_kmers"))
-    hits = (grams.join(qgrams, "gram")
+    # broadcast-join the (tiny) query gram set BEFORE the distinct: the
+    # shuffle then carries only corpus grams that appear in some query,
+    # not the full corpus k-gram set (same algebra, ~corpus-sized saving)
+    grams = (files
+             .select(*gcols, F.explode(F.expr(
+                 f"transform(sequence(1, greatest(length({cfg.content_col}) - {k - 1}, 0)),"
+                 f" i -> substring({cfg.content_col}, i, {k}))")).alias("gram"))
+             .join(F.broadcast(qgrams), "gram")
+             .distinct())
+    hits = (grams
             .groupBy(*gcols, "query_id")
             .agg(F.count("*").alias("num_kmers_found")))
     return (hits.join(F.broadcast(totals), "query_id")

@@ -240,10 +240,15 @@ def exact_containment_flagship(spark, sf_dir):
     q = spark.createDataFrame([(FLAGSHIP_SNIPPET,)], "snippet string")
     qgrams = (q.select(F.explode(F.expr(kgram_sql("snippet", KGRAM_K))).alias("gram"))
               .distinct())
-    dgrams = (d.select("source", F.explode(F.expr(kgram_sql("text", KGRAM_K))).alias("gram"))
-              .distinct())
     n_q = qgrams.count()
-    return (dgrams.join(F.broadcast(qgrams), "gram")
+    # broadcast-join BEFORE distinct: the join keeps only grams present in
+    # the (tiny) query set, so the distinct shuffles a few hundred rows
+    # instead of every k-gram in the corpus — at 100 TB the pre-filter is
+    # the difference between a broadcast probe and a full-corpus shuffle.
+    dgrams = (d.select("source", F.explode(F.expr(kgram_sql("text", KGRAM_K))).alias("gram"))
+              .join(F.broadcast(qgrams), "gram")
+              .distinct())
+    return (dgrams
             .groupBy("source")
             .agg(F.count("*").alias("num_kmers_found"))
             .withColumn("num_kmers", F.lit(n_q).cast("long"))

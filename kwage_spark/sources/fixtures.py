@@ -92,3 +92,60 @@ def make_query_snippets(files: pd.DataFrame, k: int, seed: int = 7) -> pd.DataFr
     rows.append({"query_id": qid, "snippet": "ab"[: k - 1],
                  "expected_class": "short", "src_repo": ""})
     return pd.DataFrame(rows)
+
+
+def make_source_files_spark(spark, n_files: int, files_per_repo: int = 100,
+                            tokens_per_file: int = 200, seed: int = 42,
+                            mega_repo_factor: int = 4, partitions: int = 256):
+    """Distributed deterministic corpus for throughput benches.
+
+    Same shape as make_source_files but generated executor-side with
+    mapInPandas, so multi-GB corpora materialize in parallel (the driver
+    version is pandas-bound at ~10 MB/s). Content is a pure function of
+    (seed, row id): rerunning at any partitioning yields identical rows.
+    Repo 0 is a mega-repo holding ``mega_repo_factor``× the normal file
+    count (skew exercise, FIXTURES.md F1).
+    """
+    n_repos = max(1, n_files // max(files_per_repo, 1))
+    mega_files = files_per_repo * mega_repo_factor
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = {k: [] for k in ("repo", "path", "commit", "lang",
+                                   "content", "content_sha256")}
+            for rid in ids:
+                rid = int(rid)
+                rng = np.random.default_rng(seed * 1_000_003 + rid)
+                if rid < mega_files:
+                    i, f = 0, rid
+                else:
+                    # CONTIGUOUS repo blocks: consecutive ids belong to the
+                    # same repo, so range partitions hold whole repos — the
+                    # layout an Iceberg table bucketed by repo gives, and
+                    # what makes map-side partial aggregation worthwhile
+                    r = rid - mega_files
+                    i = 1 + r // files_per_repo if n_repos > 1 else 0
+                    f = r % files_per_repo
+                repo = f"org{i % 7}/repo{i}"
+                lang = LANGS[int(rng.integers(0, len(LANGS)))]
+                toks = list(rng.choice(_VOCAB, size=tokens_per_file))
+                for j in range(5):
+                    toks.extend([_signature(repo, j)] * 3)
+                rng.shuffle(toks)
+                content = " ".join(toks)
+                out["repo"].append(repo)
+                out["path"].append(f"src/d{f % 5}/file{f}.{lang}")
+                out["commit"].append(hashlib.sha1(f"{repo}/{f}".encode()).hexdigest())
+                out["lang"].append(lang)
+                out["content"].append(content)
+                out["content_sha256"].append(
+                    hashlib.sha256(content.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, content_sha256 string")
+    # range partitions (NOT a round-robin repartition): keeps the id space
+    # contiguous per partition, preserving repo clustering on disk
+    return (spark.range(0, n_files, numPartitions=partitions)
+            .mapInPandas(gen, schema=schema))

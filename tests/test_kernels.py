@@ -317,3 +317,48 @@ def test_native_batch_multiseed_variable_lengths():
     for i, s in enumerate(strings):
         for j, seed in enumerate((0, 3)):
             assert out[i, j] == murmur3_32(s, seed), (i, seed)
+
+
+def test_native_sketch_updates_match_numpy():
+    """bloom_scatter / hll_update / cms_update vs the numpy fallbacks."""
+    from kwage_spark.kernels import _native
+    from kwage_spark.kernels.cms import CMSState
+    from kwage_spark.kernels.hll import HLLState
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler in this environment")
+    H = RNG.integers(0, 2**32, size=(50_000, 4), dtype=np.uint32)
+    H[0] = 0  # exercise the rest==0 / rho-cap path
+
+    def both(fn):
+        try:
+            _native.HAVE_NATIVE = True
+            a = fn()
+            _native.HAVE_NATIVE = False
+            b = fn()
+        finally:
+            _native.HAVE_NATIVE = True
+        return a, b
+
+    p = BloomParams(k=8, log2_m=14, num_hash=3)
+    a, b = both(lambda: BloomState(p).add_hashes(H[:, :3]).bits)
+    assert np.array_equal(a, b)
+    a, b = both(lambda: HLLState(10).add_hash_lanes(H).registers)
+    assert np.array_equal(a, b)
+    a, b = both(lambda: CMSState(9, 4).add_hashes(H).table)
+    assert np.array_equal(a, b)
+
+
+def test_batch_sliding_matches_per_row():
+    from kwage_spark.kernels.murmur3 import (
+        murmur3_32_sliding, murmur3_32_sliding_batch)
+    seeds = np.arange(3, dtype=np.uint32)
+    raws = [bytes(RNG.bytes(int(n))) for n in RNG.integers(0, 64, size=30)]
+    raws += [b"", b"short", RNG.bytes(500)]
+    got = murmur3_32_sliding_batch(raws, 8, seeds)
+    parts = [murmur3_32_sliding(np.frombuffer(r, dtype=np.uint8), 8, seeds)
+             for r in raws]
+    want = np.concatenate([pp for pp in parts if pp.shape[0]]) \
+        if any(pp.shape[0] for pp in parts) else np.empty((0, 3), np.uint32)
+    assert np.array_equal(got, want)
+    assert murmur3_32_sliding_batch([], 8, seeds).shape == (0, 3)

@@ -23,16 +23,16 @@ sys.path.insert(0, REPO)
 
 
 def make_corpus(path: str, n_files: int, tokens: int = 200) -> None:
-    """Deterministic bench corpus, written once and reused by both runs."""
-    from kwage_spark.sources.fixtures import make_source_files
+    """Deterministic bench corpus, written once and reused by both runs.
+    Generated executor-side (mapInPandas) so multi-GB corpora are fast."""
+    from kwage_spark.sources.fixtures import make_source_files_spark
     from kwage_spark.sources.session import get_spark
-    n_repos = max(50, n_files // 100)
-    files_per_repo = max(1, n_files // n_repos)
-    spark = get_spark(app="bench_corpus", master="local[8]")
+    spark = get_spark(app="bench_corpus", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    pdf = make_source_files(n_repos=n_repos, files_per_repo=files_per_repo,
-                            mega_repo_factor=4, tokens_per_file=tokens)
-    spark.createDataFrame(pdf).repartition(128).write.mode("overwrite").parquet(path)
+    (make_source_files_spark(spark, n_files, files_per_repo=100,
+                             tokens_per_file=tokens, mega_repo_factor=4,
+                             partitions=256)
+     .write.mode("overwrite").parquet(path))
     spark.stop()
 
 
@@ -65,7 +65,7 @@ def run_level(cores: int, corpus: str, pyfiles: str, searches: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=120000)
+    ap.add_argument("--files", type=int, default=2_000_000)
     ap.add_argument("--tokens", type=int, default=200)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
