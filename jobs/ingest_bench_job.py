@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--searches", type=int, default=16)
     ap.add_argument("--k", type=int, default=8)
     ap.add_argument("--log2-m", type=int, default=16)
+    # CMS width sized to the bench corpus vocabulary (~e/w error per cell)
+    # — statistics-driven sizing, the make_bloom.cpp:109-129 analog
+    ap.add_argument("--cms-log2-w", type=int, default=10)
     ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
@@ -40,7 +43,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
 
-    cfg = SketchConfig(bloom=BloomParams(k=args.k, log2_m=args.log2_m, num_hash=3))
+    cfg = SketchConfig(bloom=BloomParams(k=args.k, log2_m=args.log2_m, num_hash=3),
+                       cms_log2_w=args.cms_log2_w)
     files = spark.read.parquet(args.input)
     n_files = files.count()
 

@@ -139,16 +139,28 @@ def _select_inputs(df: DataFrame, cfg: SketchConfig) -> DataFrame:
 RAW_PARTITION_BYTES = 64 << 20
 
 
-def corpus_stats(src: DataFrame, cfg: SketchConfig) -> tuple[int, int, int]:
-    """(n_rows, n_groups≈, content_bytes) — one narrow aggregation. On a
+def corpus_stats(src: DataFrame, cfg: SketchConfig
+                 ) -> tuple[int, int, int, int]:
+    """(n_rows, n_groups≈, content_bytes, n_span_groups≈) from ONE narrow
+    aggregation. n_span_groups counts distinct (input-partition, group)
+    pairs — the number of partial states map-side combine would emit. On
+    a table clustered/bucketed by the group key it approaches n_groups;
+    on a round-robin layout it approaches n_groups x n_partitions. On a
     real deployment read these from table/column statistics instead."""
-    stats = src.agg(
+    # project the (non-deterministic) partition id BEFORE aggregating —
+    # Spark forbids it inside an aggregate expression
+    proj = src.select(
+        F.concat_ws("\x00", *cfg.group_cols).alias("_gkey"),
+        F.length(cfg.content_col).alias("_clen"),
+        F.concat_ws("\x00", F.spark_partition_id().cast("string"),
+                    *cfg.group_cols).alias("_pkey"))
+    stats = proj.agg(
         F.count("*").alias("n_rows"),
-        F.approx_count_distinct(
-            F.concat_ws("\x00", *cfg.group_cols)).alias("n_groups"),
-        F.sum(F.length(cfg.content_col)).alias("content_bytes")).first()
+        F.approx_count_distinct("_gkey").alias("n_groups"),
+        F.sum("_clen").alias("content_bytes"),
+        F.approx_count_distinct("_pkey").alias("n_span")).first()
     return (stats["n_rows"] or 0, max(stats["n_groups"] or 1, 1),
-            stats["content_bytes"] or 0)
+            stats["content_bytes"] or 0, max(stats["n_span"] or 1, 1))
 
 
 def raw_shuffle_partitions(content_bytes: int, floor: int) -> int:
@@ -161,10 +173,18 @@ def raw_shuffle_partitions(content_bytes: int, floor: int) -> int:
 
 def choose_combine(src: DataFrame, cfg: SketchConfig,
                    n_partitions: int,
-                   stats: tuple[int, int, int] | None = None) -> str:
-    """Cost-based strategy pick: compare estimated shuffle volumes."""
-    n_rows, n_groups, content_bytes = stats or corpus_stats(src, cfg)
-    partial_bytes = min(n_groups * n_partitions, n_rows) * state_bytes_per_group(cfg)
+                   stats: tuple | None = None) -> str:
+    """Cost-based strategy pick: compare estimated shuffle volumes.
+
+    partial shuffles one state set per (input partition x group) actually
+    co-resident — measured, not worst-cased, so a table clustered by the
+    group key (the recommended layout, ≙ Iceberg bucketing on repo) gets
+    map-side combine even when groups are small. raw shuffles the
+    content exactly once."""
+    st = stats or corpus_stats(src, cfg)
+    n_rows, _n_groups, content_bytes = st[0], st[1], st[2]
+    n_span = st[3] if len(st) > 3 else _n_groups * n_partitions
+    partial_bytes = min(n_span, n_rows) * state_bytes_per_group(cfg)
     return "partial" if partial_bytes < content_bytes else "raw"
 
 

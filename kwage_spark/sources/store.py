@@ -1,0 +1,81 @@
+"""Persistent sketch store with partition-pruned lookups.
+
+The reference packs filters into .db files and discovers them by directory
+walk (S7/S9, `build_db.cpp:24-456`, `options.cpp:74-137`); its query
+engine then reads every file. Our store hash-buckets sketch rows by the
+leading group column so that group-restricted reads PRUNE partitions at
+the scan — the Spark analog of KWAGE's per-file metadata offsets
+(`kwage.h:34-44`), but enforced by the storage layout instead of seeks.
+
+Iceberg is used when the runtime catalog is configured (format name
+"iceberg"); otherwise hive-style partitioned parquet gives the same
+pruning semantics. Both are written through the same API, so callers
+never branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+def _with_bucket(df: DataFrame, group_col: str, buckets: int) -> DataFrame:
+    # xxhash64 is Spark-native (no Python), stable across sessions — the
+    # same expression is reused at read time for pruning predicates
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.xxhash64(F.col(group_col)), F.lit(buckets))
+        .cast("int"))
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource")
+        return True
+    except Exception:
+        return False
+
+
+def write_sketch_store(sketches: DataFrame, path: str, group_col: str,
+                       buckets: int = 64, mode: str = "overwrite") -> None:
+    """Persist sketch rows bucketed by hash(group_col).
+
+    ~64 buckets keeps files large at 100 TB-derived sketch volumes while
+    making single-group reads touch 1/64th of the data (≙ KWAGE's ≤2048
+    filters/file packing, `options.h:137-138`, but pruned by layout).
+    """
+    out = _with_bucket(sketches, group_col, buckets)
+    spark = sketches.sparkSession
+    if iceberg_available(spark) and not path.startswith(("/", "file:")):
+        # `path` is an Iceberg table identifier in a configured catalog
+        (out.writeTo(path).partitionedBy(F.col(BUCKET_COL))
+         .createOrReplace())
+        return
+    (out.write.mode(mode).partitionBy(BUCKET_COL).parquet(path))
+
+
+def read_sketch_store(spark: SparkSession, path: str) -> DataFrame:
+    if iceberg_available(spark) and not path.startswith(("/", "file:")):
+        return spark.read.format("iceberg").load(path).drop(BUCKET_COL)
+    return spark.read.parquet(path).drop(BUCKET_COL)
+
+
+def read_sketch_group(spark: SparkSession, path: str, group_col: str,
+                      value: str, buckets: int = 64) -> DataFrame:
+    """Point lookup of one group's sketch rows.
+
+    The bucket predicate is computed from the SAME hash expression used
+    at write time, so the scan prunes to one partition directory before
+    the row filter applies (verify via PartitionFilters in the plan).
+    """
+    if iceberg_available(spark) and not path.startswith(("/", "file:")):
+        df = spark.read.format("iceberg").load(path)
+    else:
+        df = spark.read.parquet(path)
+    bucket = F.pmod(F.xxhash64(F.lit(value)), F.lit(buckets)).cast("int")
+    return (df.filter((F.col(BUCKET_COL) == bucket)
+                      & (F.col(group_col) == value))
+            .drop(BUCKET_COL))

@@ -1,0 +1,63 @@
+"""Partitioned sketch store: pruning + roundtrip (SURVEY §7.1 step 6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kwage_spark.config import SketchConfig
+from kwage_spark.kernels.bloom import BloomParams
+from kwage_spark.operators.ingest import build_sketches
+from kwage_spark.operators.search import containment_search
+from kwage_spark.plans.inspect import physical_plan
+from kwage_spark.sources.fixtures import make_source_files
+from kwage_spark.sources.store import (
+    read_sketch_group, read_sketch_store, write_sketch_store)
+
+CFG = SketchConfig(bloom=BloomParams(k=8, log2_m=12, num_hash=3))
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    pdf = make_source_files(n_repos=8, files_per_repo=4, tokens_per_file=30)
+    sk = build_sketches(spark.createDataFrame(pdf), CFG)
+    path = str(tmp_path_factory.mktemp("store") / "sketches")
+    write_sketch_store(sk, path, "repo", buckets=16)
+    return pdf, path
+
+
+def test_store_roundtrip_preserves_rows(spark, store):
+    pdf, path = store
+    back = read_sketch_store(spark, path)
+    n_groups = len(pdf.groupby(["repo", "lang"]))
+    assert back.count() == n_groups * len(CFG.kinds)
+    assert "_bucket" not in back.columns
+
+
+def test_group_lookup_prunes_partitions(spark, store):
+    pdf, path = store
+    repo = sorted(pdf.repo.unique())[2]
+    df = read_sketch_group(spark, path, "repo", repo, buckets=16)
+    rows = df.toPandas()
+    assert set(rows.repo) == {repo}
+    # the bucket predicate must reach the scan as a partition filter
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("_bucket" in ln for ln in pf_lines), plan
+
+
+def test_lookup_results_search_equivalent(spark, store):
+    """Searching a pruned single-repo slice equals filtering the full
+    search output — the store changes I/O, not semantics."""
+    pdf, path = store
+    repo = sorted(pdf.repo.unique())[1]
+    snippet = pdf.loc[pdf.repo == repo, "content"].iloc[0][:60]
+    full = containment_search(
+        read_sketch_store(spark, path), [(0, snippet)], CFG, threshold=0.5
+    ).toPandas()
+    pruned = containment_search(
+        read_sketch_group(spark, path, "repo", repo, buckets=16),
+        [(0, snippet)], CFG, threshold=0.5).toPandas()
+    want = full[full.repo == repo].reset_index(drop=True)
+    assert pruned[["repo", "lang", "num_kmers_found"]].equals(
+        want[["repo", "lang", "num_kmers_found"]])

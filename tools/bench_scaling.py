@@ -22,14 +22,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def make_corpus(path: str, n_files: int, tokens: int = 200) -> None:
+def make_corpus(path: str, n_files: int, tokens: int = 200,
+                files_per_repo: int = 2000) -> None:
     """Deterministic bench corpus, written once and reused by both runs.
-    Generated executor-side (mapInPandas) so multi-GB corpora are fast."""
+    Generated executor-side (mapInPandas) so multi-GB corpora are fast;
+    repo blocks are contiguous (the layout a table bucketed by repo
+    gives), which is what makes map-side partial aggregation the winning
+    ingest plan at this group size."""
     from kwage_spark.sources.fixtures import make_source_files_spark
     from kwage_spark.sources.session import get_spark
     spark = get_spark(app="bench_corpus", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    (make_source_files_spark(spark, n_files, files_per_repo=100,
+    (make_source_files_spark(spark, n_files, files_per_repo=files_per_repo,
                              tokens_per_file=tokens, mega_repo_factor=4,
                              partitions=256)
      .write.mode("overwrite").parquet(path))
@@ -53,6 +57,9 @@ def run_level(cores: int, corpus: str, pyfiles: str, searches: int) -> dict:
         "--conf", "spark.sql.adaptive.enabled=true",
         "--conf", "spark.driver.memory=16g",
         "--conf", "spark.ui.enabled=false",
+        # smaller scan splits so map parallelism isn't capped below the
+        # core count by file-split coalescing (900 MB / 128 MB = 8 splits)
+        "--conf", "spark.sql.files.maxPartitionBytes=33554432",
         "--py-files", pyfiles,
         os.path.join(REPO, "jobs", "ingest_bench_job.py"),
         "--input", corpus, "--searches", str(searches),
@@ -65,18 +72,19 @@ def run_level(cores: int, corpus: str, pyfiles: str, searches: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=2_000_000)
+    ap.add_argument("--files", type=int, default=6_000_000)
+    ap.add_argument("--files-per-repo", type=int, default=2000)
     ap.add_argument("--tokens", type=int, default=200)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--searches", type=int, default=16)
+    ap.add_argument("--searches", type=int, default=64)
     ap.add_argument("--corpus", default=None)
     args = ap.parse_args()
 
     corpus = args.corpus or os.path.join(tempfile.gettempdir(), "kwage_bench_corpus")
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         print(f"generating corpus ({args.files} files x {args.tokens} tokens) -> {corpus}", file=sys.stderr)
-        make_corpus(corpus, args.files, args.tokens)
+        make_corpus(corpus, args.files, args.tokens, args.files_per_repo)
 
     pyfiles = os.path.join(tempfile.gettempdir(), "kwage_spark.zip")
     zip_package(pyfiles)
