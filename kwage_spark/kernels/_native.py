@@ -162,6 +162,23 @@ void mm3_batch_multiseed(const uint8_t *buf, const int64_t *offsets,
                 buf + offsets[i], offsets[i + 1] - offsets[i], seeds[s]);
 }
 
+/* sliding multiseed over m strings given as (start, len) ranges into a
+   shared buffer — the ranges need not be contiguous or ordered (they
+   address rows of an Arrow string column's data buffer directly). */
+void mm3_sliding_ranges_multiseed(const uint8_t *buf, const int64_t *starts,
+                                  const int64_t *lens, int64_t m, int64_t k,
+                                  const uint32_t *seeds, int64_t nseeds,
+                                  uint32_t *out) {
+    int64_t row = 0;
+    for (int64_t i = 0; i < m; i++) {
+        int64_t n = lens[i] - k + 1;
+        if (n <= 0) continue;
+        mm3_sliding_multiseed(buf + starts[i], lens[i], k, seeds, nseeds,
+                              out + row * nseeds);
+        row += n;
+    }
+}
+
 /* ---- sketch update scatter loops (consume a (n, stride) uint32 hash
    matrix, one row per item, lane s = seed s) ---- */
 
@@ -263,8 +280,13 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
             _lib = ctypes.CDLL(_so_path)
             for fn in ("mm3_sliding_multiseed", "mm3_rows_multiseed",
                        "mm3_batch_multiseed", "mm3_sliding_batch_multiseed",
+                       "mm3_sliding_ranges_multiseed",
                        "bloom_scatter", "hll_update", "cms_update"):
                 getattr(_lib, fn).restype = None
+            _lib.mm3_sliding_ranges_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
             _i64 = ctypes.c_int64
             _lib.bloom_scatter.argtypes = [
                 ctypes.c_void_p, _i64, ctypes.c_void_p, _i64, _i64, _i64]
@@ -360,6 +382,25 @@ def cms_update(table: np.ndarray, log2_w: int, hashes: np.ndarray) -> None:
     h, stride = _lane_matrix(hashes)
     _lib.cms_update(table.ctypes.data, table.shape[0], log2_w,
                     h.ctypes.data, h.shape[0], stride)
+
+
+def sliding_ranges_multiseed(buf: np.ndarray, starts: np.ndarray,
+                             lens: np.ndarray, k: int,
+                             seeds: np.ndarray) -> np.ndarray:
+    """Per-range sliding-window hashes over a shared byte buffer (ranges
+    may be unordered / non-contiguous, e.g. Arrow string column rows)."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    n_out = int(np.maximum(lens - k + 1, 0).sum())
+    out = np.empty((n_out, seeds.shape[0]), dtype=np.uint32)
+    if n_out > 0:
+        _lib.mm3_sliding_ranges_multiseed(
+            buf.ctypes.data, starts.ctypes.data, lens.ctypes.data,
+            starts.shape[0], k, seeds.ctypes.data, seeds.shape[0],
+            out.ctypes.data)
+    return out
 
 
 def batch_multiseed(buf: np.ndarray, offsets: np.ndarray,

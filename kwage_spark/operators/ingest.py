@@ -4,8 +4,13 @@ re-expressed as a cost-based Spark aggregation.
 Two physical strategies, both producing identical states (the merge is
 associative + commutative, so the result is partitioning-invariant):
 
+Both modes are Arrow-native (mapInArrow): a group's rows become
+(start, len) ranges into the Arrow string column's data buffer, fed to
+the sliding-hash kernel in one call — no Python string objects, no
+pandas materialization, on the hot path.
+
   combine="partial"  (map-side combine, tree-merge)
-      stage 1: mapInPandas builds a PARTIAL state per (group × partition);
+      stage 1: mapInArrow builds a PARTIAL state per (group × partition);
                raw ``content`` never crosses the network.
       stage 2: groupBy(group, kind).applyInPandas merges the binary states.
       Shuffle volume ≈ min(n_groups × n_partitions, n_rows) × state_size.
@@ -48,7 +53,8 @@ from ..kernels.bloom import BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
-from ..kernels.murmur3 import murmur3_32_sliding_batch
+from ..kernels import _native
+from ..kernels.murmur3 import murmur3_32_sliding, murmur3_32_sliding_batch
 from .merge import merge_grouped_states
 
 
@@ -79,32 +85,130 @@ def _hash_lanes(cfg: SketchConfig) -> int:
     return lanes
 
 
+def _feed_hashes(states: dict[str, object], cfg: SketchConfig,
+                 H: np.ndarray) -> None:
+    """Push a shared (n, lanes) uint32 hash matrix into the hash sketches."""
+    if KIND_BLOOM in states:
+        states[KIND_BLOOM].add_hashes(H[:, : cfg.bloom.num_hash])
+    if KIND_HLL in states:
+        states[KIND_HLL].add_hash_lanes(H)
+    if KIND_CMS in states:
+        states[KIND_CMS].add_hashes(H)
+
+
 def _feed_group(states: dict[str, object], cfg: SketchConfig,
                 g: pd.DataFrame) -> int:
     """Add one pandas sub-frame (all rows of one group) into states.
-    Returns the number of k-grams seen."""
+    Returns the number of k-grams seen. (pandas path — kept for callers
+    outside the Arrow ingest, e.g. streaming foreachBatch.)"""
     lanes = _hash_lanes(cfg)
     seeds = np.arange(lanes, dtype=np.uint32)
     contents = g[cfg.content_col].to_numpy()
     raws = [c.encode("utf-8", "surrogatepass") if isinstance(c, str) else c
             for c in contents]
-    sizes = [len(c) for c in contents]
+    sizes = [len(r) for r in raws]  # byte lengths (= chars for ASCII)
     n_kgrams = int(sum(max(0, len(r) - cfg.k + 1) for r in raws))
     if lanes and n_kgrams:
         # ONE sliding-murmur kernel call for the whole group's contents —
         # windows never cross row boundaries; no (n, k) matrix materialized
         H = murmur3_32_sliding_batch(raws, cfg.k, seeds)
-        if KIND_BLOOM in states:
-            states[KIND_BLOOM].add_hashes(H[:, : cfg.bloom.num_hash])
-        if KIND_HLL in states:
-            states[KIND_HLL].add_hash_lanes(H)
-        if KIND_CMS in states:
-            states[KIND_CMS].add_hashes(H)
+        _feed_hashes(states, cfg, H)
     if KIND_KLL in states:
         vals = (g[cfg.size_col].to_numpy(dtype=np.float64)
                 if cfg.size_col else np.asarray(sizes, dtype=np.float64))
         states[KIND_KLL].add_values(vals)
     return n_kgrams
+
+
+def _feed_group_ranges(states: dict[str, object], cfg: SketchConfig,
+                       buf: np.ndarray, starts: np.ndarray,
+                       lens: np.ndarray, sizes: np.ndarray) -> int:
+    """Arrow-native group feed: rows are (start, len) ranges into the
+    string column's shared data buffer — no Python string objects exist
+    anywhere on this path."""
+    lanes = _hash_lanes(cfg)
+    n_kgrams = int(np.maximum(lens - cfg.k + 1, 0).sum())
+    if lanes and n_kgrams:
+        seeds = np.arange(lanes, dtype=np.uint32)
+        if _native.HAVE_NATIVE:
+            H = _native.sliding_ranges_multiseed(buf, starts, lens, cfg.k, seeds)
+        else:
+            parts = [murmur3_32_sliding(buf[s:s + ln], cfg.k, seeds)
+                     for s, ln in zip(starts.tolist(), lens.tolist())
+                     if ln >= cfg.k]
+            H = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        _feed_hashes(states, cfg, H)
+    if KIND_KLL in states:
+        states[KIND_KLL].add_values(sizes.astype(np.float64))
+    return n_kgrams
+
+
+def _arrow_groups(batch, cfg: SketchConfig):
+    """Yield (key_tuple, starts, lens, sizes, n_rows) for each group in a
+    pyarrow.RecordBatch, touching only Arrow buffers + numpy.
+
+    Group discovery: dictionary-encode the concatenated group key, then a
+    stable argsort of the code array gives contiguous index runs per
+    group (the per-batch equivalent of a sort-based aggregate)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    if n == 0:
+        return
+    content = batch.column(batch.schema.get_field_index(cfg.content_col))
+    if pa.types.is_large_string(content.type):
+        odt = np.int64
+    else:
+        odt = np.int32
+    off_buf, data_buf = content.buffers()[1], content.buffers()[2]
+    offs = np.frombuffer(off_buf, dtype=odt)[content.offset:content.offset + n + 1]
+    buf = np.frombuffer(data_buf, dtype=np.uint8)
+    starts_all = offs[:-1].astype(np.int64)
+    lens_all = np.diff(offs).astype(np.int64)
+
+    if cfg.size_col is not None:
+        sizes_all = batch.column(
+            batch.schema.get_field_index(cfg.size_col)).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+    else:
+        sizes_all = lens_all.astype(np.float64)
+
+    gcols = [batch.column(batch.schema.get_field_index(c))
+             for c in cfg.group_cols]
+    key_arr = (gcols[0].cast(pa.string()) if len(gcols) == 1 else
+               pc.binary_join_element_wise(
+                   *[g.cast(pa.string()) for g in gcols], "\x00"))
+    codes_arr = pc.dictionary_encode(key_arr)
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    dictionary = codes_arr.dictionary.to_pylist()
+    order = np.argsort(codes, kind="stable")
+    sorted_codes = codes[order]
+    bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
+    run_starts = np.concatenate(([0], bounds))
+    run_ends = np.concatenate((bounds, [n]))
+    for rs, re in zip(run_starts.tolist(), run_ends.tolist()):
+        ix = order[rs:re]
+        key = dictionary[int(sorted_codes[rs])]
+        key_tuple = tuple(key.split("\x00")) if len(cfg.group_cols) > 1 else (key,)
+        yield (key_tuple, starts_all[ix], lens_all[ix], sizes_all[ix],
+               re - rs)
+
+
+def _states_record_batch(rows: list[dict], cfg: SketchConfig):
+    import pyarrow as pa
+    cols: dict[str, list] = {c: [] for c in cfg.group_cols}
+    cols.update(kind=[], state=[], n_rows=[], n_kgrams=[])
+    for r in rows:
+        for c in cols:
+            cols[c].append(r[c])
+    arrays = [pa.array(cols[c], type=pa.string()) for c in cfg.group_cols]
+    arrays += [pa.array(cols["kind"], type=pa.string()),
+               pa.array(cols["state"], type=pa.binary()),
+               pa.array(cols["n_rows"], type=pa.int64()),
+               pa.array(cols["n_kgrams"], type=pa.int64())]
+    names = list(cfg.group_cols) + ["kind", "state", "n_rows", "n_kgrams"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def state_bytes_per_group(cfg: SketchConfig) -> int:
@@ -210,29 +314,33 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
         if repartition:
             src = src.repartition(repartition)
 
-        def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            # yield incrementally: with many tiny groups a single Arrow
-            # batch can hold thousands of groups, and a full state set is
-            # ~100 KB — buffering a whole batch's states would OOM the
-            # worker. 256 state rows ≈ tens of MB, bounded.
+        def gen_partials(batches):
+            # Arrow-native: per batch, group rows into (start, len) ranges
+            # over the string column's data buffer and feed the kernels
+            # directly — zero Python string objects. Yield incrementally:
+            # with many tiny groups a batch can hold thousands of groups
+            # at ~100 KB of state each; 256 rows bounds worker memory.
             rows = []
-            for pdf in batches:
-                for key, g in pdf.groupby(gcols, sort=False):
-                    key = key if isinstance(key, tuple) else (key,)
+            for batch in batches:
+                buf = np.frombuffer(
+                    batch.column(batch.schema.get_field_index(
+                        cfg.content_col)).buffers()[2], dtype=np.uint8)
+                for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
                     states = _new_states(cfg)
-                    n_kgrams = _feed_group(states, cfg, g)
+                    n_kgrams = _feed_group_ranges(states, cfg, buf,
+                                                  starts, lens, sizes)
                     for kind, st in states.items():
                         row = dict(zip(gcols, key))
                         row.update(kind=kind, state=st.to_bytes(),
-                                   n_rows=int(len(g)), n_kgrams=n_kgrams)
+                                   n_rows=n_rows, n_kgrams=n_kgrams)
                         rows.append(row)
                     if len(rows) >= 256:
-                        yield pd.DataFrame(rows)
+                        yield _states_record_batch(rows, cfg)
                         rows = []
             if rows:
-                yield pd.DataFrame(rows)
+                yield _states_record_batch(rows, cfg)
 
-        partials = src.mapInPandas(gen_partials, schema=schema)
+        partials = src.mapInArrow(gen_partials, schema=schema)
         return merge_grouped_states(partials, gcols)
 
     if combine != "raw":
@@ -246,18 +354,22 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
         n_shuffle = raw_shuffle_partitions(stats[2], n_shuffle)
     keyed = src.repartition(n_shuffle, *gcols)
 
-    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def per_partition(batches):
         # accumulate ONE state set per group across Arrow batches: memory
         # is bounded by (groups-in-partition × state size), never raw rows
         acc: dict[tuple, tuple[dict, int, int]] = {}
-        for pdf in batches:
-            for key, g in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
+        for batch in batches:
+            buf = np.frombuffer(
+                batch.column(batch.schema.get_field_index(
+                    cfg.content_col)).buffers()[2], dtype=np.uint8)
+            for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
                 entry = acc.get(key)
                 if entry is None:
                     entry = (_new_states(cfg), 0, 0)
-                n_kgrams = _feed_group(entry[0], cfg, g)
-                acc[key] = (entry[0], entry[1] + len(g), entry[2] + n_kgrams)
+                n_kgrams = _feed_group_ranges(entry[0], cfg, buf,
+                                              starts, lens, sizes)
+                acc[key] = (entry[0], entry[1] + n_rows,
+                            entry[2] + n_kgrams)
         rows = []
         for key, (states, n_rows, n_kgrams) in acc.items():
             for kind, st in states.items():
@@ -265,10 +377,13 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
                 row.update(kind=kind, state=st.to_bytes(),
                            n_rows=n_rows, n_kgrams=n_kgrams)
                 rows.append(row)
+                if len(rows) >= 256:
+                    yield _states_record_batch(rows, cfg)
+                    rows = []
         if rows:
-            yield pd.DataFrame(rows)
+            yield _states_record_batch(rows, cfg)
 
-    return keyed.mapInPandas(per_partition, schema=schema)
+    return keyed.mapInArrow(per_partition, schema=schema)
 
 
 def build_sketches_salted(df: DataFrame, cfg: SketchConfig,
