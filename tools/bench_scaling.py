@@ -5,7 +5,9 @@ this sandbox; per BASELINE.md we run the identical spark-submit job on the
 identical input at local[8] and local[32] and report throughput at both
 plus scaling efficiency = (T_8 / T_32) / 4.
 
-Usage: python tools/bench_scaling.py [--files 40000] [--low 8 --high 32]
+Usage: python tools/bench_scaling.py [--files 6000000] [--low 4 --high 16]
+(defaults reproduce BENCH/BASELINE.md; pick low/high within the box's
+unsaturated region — see the caveats written into the report)
 """
 
 from __future__ import annotations
@@ -77,7 +79,7 @@ def main() -> None:
     ap.add_argument("--tokens", type=int, default=200)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--searches", type=int, default=512)
+    ap.add_argument("--searches", type=int, default=2048)
     ap.add_argument("--corpus", default=None)
     args = ap.parse_args()
 
