@@ -41,10 +41,7 @@ subgroups and re-merges (A4/A5 algebra).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,7 +51,7 @@ from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
 from ..kernels import _native
-from ..kernels.murmur3 import murmur3_32_sliding, murmur3_32_sliding_batch
+from ..kernels.murmur3 import murmur3_32_sliding
 from .merge import merge_grouped_states
 
 
@@ -94,30 +91,6 @@ def _feed_hashes(states: dict[str, object], cfg: SketchConfig,
         states[KIND_HLL].add_hash_lanes(H)
     if KIND_CMS in states:
         states[KIND_CMS].add_hashes(H)
-
-
-def _feed_group(states: dict[str, object], cfg: SketchConfig,
-                g: pd.DataFrame) -> int:
-    """Add one pandas sub-frame (all rows of one group) into states.
-    Returns the number of k-grams seen. (pandas path — kept for callers
-    outside the Arrow ingest, e.g. streaming foreachBatch.)"""
-    lanes = _hash_lanes(cfg)
-    seeds = np.arange(lanes, dtype=np.uint32)
-    contents = g[cfg.content_col].to_numpy()
-    raws = [c.encode("utf-8", "surrogatepass") if isinstance(c, str) else c
-            for c in contents]
-    sizes = [len(r) for r in raws]  # byte lengths (= chars for ASCII)
-    n_kgrams = int(sum(max(0, len(r) - cfg.k + 1) for r in raws))
-    if lanes and n_kgrams:
-        # ONE sliding-murmur kernel call for the whole group's contents —
-        # windows never cross row boundaries; no (n, k) matrix materialized
-        H = murmur3_32_sliding_batch(raws, cfg.k, seeds)
-        _feed_hashes(states, cfg, H)
-    if KIND_KLL in states:
-        vals = (g[cfg.size_col].to_numpy(dtype=np.float64)
-                if cfg.size_col else np.asarray(sizes, dtype=np.float64))
-        states[KIND_KLL].add_values(vals)
-    return n_kgrams
 
 
 def _feed_group_ranges(states: dict[str, object], cfg: SketchConfig,
@@ -193,6 +166,39 @@ def _arrow_groups(batch, cfg: SketchConfig):
         key_tuple = tuple(key.split("\x00")) if len(cfg.group_cols) > 1 else (key,)
         yield (key_tuple, starts_all[ix], lens_all[ix], sizes_all[ix],
                re - rs)
+
+
+def _arrow_gen_partials(cfg: SketchConfig):
+    """mapInArrow generator: per batch, group rows into (start, len)
+    ranges over the string column's data buffer and feed the kernels
+    directly — zero Python string objects. Yields incrementally: with
+    many tiny groups a batch can hold thousands of groups at ~100 KB of
+    state each; 256 rows bounds worker memory. Extra columns (e.g. a
+    salt used only for partitioning) are ignored."""
+    gcols = list(cfg.group_cols)
+
+    def gen_partials(batches):
+        rows = []
+        for batch in batches:
+            buf = np.frombuffer(
+                batch.column(batch.schema.get_field_index(
+                    cfg.content_col)).buffers()[2], dtype=np.uint8)
+            for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
+                states = _new_states(cfg)
+                n_kgrams = _feed_group_ranges(states, cfg, buf,
+                                              starts, lens, sizes)
+                for kind, st in states.items():
+                    row = dict(zip(gcols, key))
+                    row.update(kind=kind, state=st.to_bytes(),
+                               n_rows=n_rows, n_kgrams=n_kgrams)
+                    rows.append(row)
+                if len(rows) >= 256:
+                    yield _states_record_batch(rows, cfg)
+                    rows = []
+        if rows:
+            yield _states_record_batch(rows, cfg)
+
+    return gen_partials
 
 
 def _states_record_batch(rows: list[dict], cfg: SketchConfig):
@@ -313,34 +319,7 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
     if combine == "partial":
         if repartition:
             src = src.repartition(repartition)
-
-        def gen_partials(batches):
-            # Arrow-native: per batch, group rows into (start, len) ranges
-            # over the string column's data buffer and feed the kernels
-            # directly — zero Python string objects. Yield incrementally:
-            # with many tiny groups a batch can hold thousands of groups
-            # at ~100 KB of state each; 256 rows bounds worker memory.
-            rows = []
-            for batch in batches:
-                buf = np.frombuffer(
-                    batch.column(batch.schema.get_field_index(
-                        cfg.content_col)).buffers()[2], dtype=np.uint8)
-                for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
-                    states = _new_states(cfg)
-                    n_kgrams = _feed_group_ranges(states, cfg, buf,
-                                                  starts, lens, sizes)
-                    for kind, st in states.items():
-                        row = dict(zip(gcols, key))
-                        row.update(kind=kind, state=st.to_bytes(),
-                                   n_rows=n_rows, n_kgrams=n_kgrams)
-                        rows.append(row)
-                    if len(rows) >= 256:
-                        yield _states_record_batch(rows, cfg)
-                        rows = []
-            if rows:
-                yield _states_record_batch(rows, cfg)
-
-        partials = src.mapInArrow(gen_partials, schema=schema)
+        partials = src.mapInArrow(_arrow_gen_partials(cfg), schema=schema)
         return merge_grouped_states(partials, gcols)
 
     if combine != "raw":
@@ -404,23 +383,10 @@ def build_sketches_salted(df: DataFrame, cfg: SketchConfig,
     stage1_in = salted.repartition(n_shuffle, *cfg.group_cols, "_salt")
     gcols = list(cfg.group_cols)
     schema = sketch_schema(cfg)
-
-    def gen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for key, g in pdf.drop(columns=["_salt"]).groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                states = _new_states(cfg)
-                n_kgrams = _feed_group(states, cfg, g)
-                for kind, st in states.items():
-                    row = dict(zip(gcols, key))
-                    row.update(kind=kind, state=st.to_bytes(),
-                               n_rows=int(len(g)), n_kgrams=n_kgrams)
-                    rows.append(row)
-            if rows:
-                yield pd.DataFrame(rows)
-
-    partials = stage1_in.mapInPandas(gen_partials, schema=schema)
+    # the salt exists only to spread the shuffle; the Arrow partials
+    # generator groups by cfg.group_cols and ignores the extra column,
+    # so subgroup states merge back in the same grouped-reduce stage
+    partials = stage1_in.mapInArrow(_arrow_gen_partials(cfg), schema=schema)
     return merge_grouped_states(partials, gcols)
 
 
