@@ -15,6 +15,9 @@ KIND_BLOOM = "bloom"
 KIND_HLL = "hll"
 KIND_CMS = "cms"
 KIND_KLL = "kll"
+KIND_TDIGEST = "tdigest"
+# default build set; tdigest is opt-in (same role as KLL with better
+# tail accuracy — request it via kinds=(..., "tdigest"))
 ALL_KINDS = (KIND_BLOOM, KIND_HLL, KIND_CMS, KIND_KLL)
 
 
@@ -37,6 +40,7 @@ class SketchConfig:
     cms_log2_w: int = 12
     cms_depth: int = 4
     kll_k: int = 200
+    tdigest_delta: int = 100
 
     @property
     def k(self) -> int:

@@ -8,15 +8,18 @@ from .bloom import BloomState
 from .cms import CMSState
 from .hll import HLLState
 from .kll import KLLState
+from .tdigest import TDigestState
 
 _BY_MAGIC = {
     0x4B575342: BloomState,
     0x4B57484C: HLLState,
     0x4B57434D: CMSState,
     0x4B574B4C: KLLState,
+    0x4B574454: TDigestState,
 }
 
-_BY_KIND = {"bloom": BloomState, "hll": HLLState, "cms": CMSState, "kll": KLLState}
+_BY_KIND = {"bloom": BloomState, "hll": HLLState, "cms": CMSState,
+            "kll": KLLState, "tdigest": TDigestState}
 
 
 def state_from_bytes(data: bytes):

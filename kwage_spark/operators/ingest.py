@@ -45,11 +45,13 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import KIND_BLOOM, KIND_CMS, KIND_HLL, KIND_KLL, SketchConfig
+from ..config import (KIND_BLOOM, KIND_CMS, KIND_HLL, KIND_KLL,
+                      KIND_TDIGEST, SketchConfig)
 from ..kernels.bloom import BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
+from ..kernels.tdigest import TDigestState
 from ..kernels import _native
 from ..kernels.murmur3 import murmur3_32_sliding
 from .merge import merge_grouped_states
@@ -65,6 +67,8 @@ def _new_states(cfg: SketchConfig) -> dict[str, object]:
         states[KIND_CMS] = CMSState(cfg.cms_log2_w, cfg.cms_depth)
     if KIND_KLL in cfg.kinds:
         states[KIND_KLL] = KLLState(cfg.kll_k)
+    if KIND_TDIGEST in cfg.kinds:
+        states[KIND_TDIGEST] = TDigestState(cfg.tdigest_delta)
     return states
 
 
@@ -113,6 +117,8 @@ def _feed_group_ranges(states: dict[str, object], cfg: SketchConfig,
         _feed_hashes(states, cfg, H)
     if KIND_KLL in states:
         states[KIND_KLL].add_values(sizes.astype(np.float64))
+    if KIND_TDIGEST in states:
+        states[KIND_TDIGEST].add_values(sizes.astype(np.float64))
     return n_kgrams
 
 
@@ -228,6 +234,8 @@ def state_bytes_per_group(cfg: SketchConfig) -> int:
         total += cfg.cms_depth * (1 << cfg.cms_log2_w) * 8 + 24
     if KIND_KLL in cfg.kinds:
         total += cfg.kll_k * 8 * 3 + 24
+    if KIND_TDIGEST in cfg.kinds:
+        total += cfg.tdigest_delta * 16 * 2 + 24
     return total
 
 

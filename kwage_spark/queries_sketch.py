@@ -95,6 +95,22 @@ def kll_size_quantiles(spark, sf_dir):
     return spark.createDataFrame(pd.DataFrame(rows).sort_values("lang"))
 
 
+@register("tdigest_size_quantiles")  # A16 twin of kll_size_quantiles:
+def tdigest_size_quantiles(spark, sf_dir):
+    """t-digest per-lang size quantiles — tail-accurate counterpart of
+    KLL for max-size admission policies (F6, `README.md:224`)."""
+    cfg = SketchConfig(group_cols=("lang",), content_col="text",
+                       size_col="n_chars", kinds=("tdigest",),
+                       bloom=DOC_CFG.bloom, tdigest_delta=100)
+    sk = build_sketches(_docs(spark, sf_dir), cfg)
+    pdf = sk.toPandas()
+    pdf["st"] = pdf["state"].map(lambda b: state_from_bytes(bytes(b)))
+    rows = [{"lang": r.lang,
+             "p01": r.st.quantile(0.01), "p50": r.st.quantile(0.5),
+             "p99": r.st.quantile(0.99)} for r in pdf.itertuples()]
+    return spark.createDataFrame(pd.DataFrame(rows).sort_values("lang"))
+
+
 @register("bloom_fp_audit")  # error-bound conformance as a query
 def bloom_fp_audit(spark, sf_dir):
     """Per-group measured FP stats vs the published bound (bloom.cpp:47)."""

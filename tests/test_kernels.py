@@ -362,3 +362,72 @@ def test_batch_sliding_matches_per_row():
         if any(pp.shape[0] for pp in parts) else np.empty((0, 3), np.uint32)
     assert np.array_equal(got, want)
     assert murmur3_32_sliding_batch([], 8, seeds).shape == (0, 3)
+
+
+def test_tdigest_quantiles_vs_exact():
+    from kwage_spark.kernels.tdigest import TDigestState
+    data = np.concatenate([RNG.normal(100, 15, 20000),
+                           RNG.exponential(50, 20000)])
+    st = TDigestState(delta=100).add_values(data)
+    s = np.sort(data)
+    n = s.shape[0]
+    for q in (0.001, 0.01, 0.25, 0.5, 0.75, 0.99, 0.999):
+        est = st.quantile(q)
+        r_lo = np.searchsorted(s, est, side="left") / n
+        r_hi = np.searchsorted(s, est, side="right") / n
+        # rank error bound ~ O(q(1-q)/delta); generous constant plus a
+        # floor for the midpoint-interpolation error at the extremes
+        tol = max(12.0 * q * (1 - q) / 100, 8e-4)
+        assert r_lo - tol <= q <= r_hi + tol, (q, est, r_lo, r_hi)
+    assert st.n_items == n
+
+
+def test_tdigest_merge_matches_whole_within_bound():
+    from kwage_spark.kernels.tdigest import TDigestState
+    data = RNG.uniform(0, 1000, 30000)
+    whole = TDigestState(80).add_values(data)
+    parts = [TDigestState(80).add_values(chunk)
+             for chunk in np.array_split(data, 7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    assert merged.n_items == whole.n_items == data.shape[0]
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        assert abs(merged.quantile(q) - whole.quantile(q)) <= 0.03 * 1000
+
+
+def test_tdigest_serialization_and_registry():
+    from kwage_spark.kernels.registry import state_from_bytes
+    from kwage_spark.kernels.tdigest import TDigestState
+    st = TDigestState(60).add_values(RNG.normal(size=5000))
+    back = state_from_bytes(st.to_bytes())
+    assert isinstance(back, TDigestState)
+    assert back.n_items == st.n_items
+    assert np.allclose(back.means, st.means)
+    assert np.allclose(back.weights, st.weights)
+    # corrupt payload -> crc rejects
+    blob = bytearray(st.to_bytes())
+    blob[-1] ^= 0xFF
+    import pytest
+    with pytest.raises(ValueError):
+        state_from_bytes(bytes(blob))
+
+
+def test_tdigest_through_spark_ingest(spark):
+    from kwage_spark.config import SketchConfig
+    from kwage_spark.kernels.registry import state_from_bytes
+    from kwage_spark.operators.ingest import build_sketches
+    from kwage_spark.sources.fixtures import make_source_files
+    pdf = make_source_files(n_repos=4, files_per_repo=10, tokens_per_file=50)
+    cfg = SketchConfig(bloom=BloomParams(k=8, log2_m=12, num_hash=3),
+                       kinds=("kll", "tdigest"))
+    sk = build_sketches(spark.createDataFrame(pdf), cfg).toPandas()
+    td = sk[sk.kind == "tdigest"]
+    assert len(td) == len(pdf.groupby(["repo", "lang"]))
+    for _, r in td.iterrows():
+        st = state_from_bytes(bytes(r.state))
+        g = pdf[(pdf.repo == r.repo) & (pdf.lang == r.lang)]
+        sizes = g.content.str.len().to_numpy(dtype=float)
+        assert st.n_items == len(g)
+        med = st.quantile(0.5)
+        assert sizes.min() <= med <= sizes.max()
