@@ -74,7 +74,8 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     for lang in _STOPWORDS:
         pred = pred.when(votes[lang] == best, F.lit(lang))
     return df.select(id_col, pred.otherwise(F.lit("und")).alias("pred_lang"),
-                     *[votes[lang].alias(f"votes_{lang}") for lang in _STOPWORDS])
+                     *[votes[lang].cast("long").alias(f"votes_{lang}")
+                       for lang in _STOPWORDS])
 
 
 def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,

@@ -206,11 +206,15 @@ def semi_join_include(spark, sf_dir):
 
 @register("anti_join_skip", """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
 """)
 def anti_join_skip(spark, sf_dir):
+    """F5 skip-list anti-join — customers with no high-value order. The
+    price predicate keeps the expected output non-empty on the fixture
+    (every customer has SOME order, so an unfiltered anti-join would be
+    vacuously green)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name"))
 
@@ -334,11 +338,15 @@ def intersect_keys(spark, sf_dir):
 @register("except_diff", """
 SELECT DISTINCT c_nationkey AS nationkey FROM customer
 EXCEPT
-SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
 """)
 def except_diff(spark, sf_dir):
+    """O3 set difference — nations with customers but no wealthy supplier.
+    The acctbal predicate keeps the expected output non-empty (every
+    nationkey has at least one supplier on the fixture)."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (_t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000)
+         .select(F.col("s_nationkey").alias("nationkey")))
     return c.subtract(s)  # EXCEPT (distinct set semantics)
 
 

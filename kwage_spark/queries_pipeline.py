@@ -12,8 +12,8 @@ from pyspark.sql import functions as F
 from .operators.dedup import (minhash_lsh_pairs, minhash_signatures,
                               simhash_near_duplicates)
 from .operators.similarity import ann_topk_lsh
-from .operators.text import (language_id, quality_scores, token_count_bpe,
-                             winnowing_fingerprints)
+from .operators.text import (_STOPWORDS, language_id, quality_scores,
+                             token_count_bpe, winnowing_fingerprints)
 from .queries import register
 
 
@@ -29,13 +29,57 @@ def q_token_count_bpe(spark, sf_dir):
     return token_count_bpe(d, "doc_id", "text")
 
 
-@register("quality_scores_full")  # rows-only: float regex ratios
+@register("quality_scores_full", r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+       round(length(text) * 1.0
+             / greatest(len(regexp_split_to_array(text, '\s+')), 1), 4)
+         AS avg_token_len,
+       round(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0
+             / greatest(length(text), 1), 5) AS punct_ratio,
+       round(len(regexp_extract_all(text, '[0-9]')) * 1.0
+             / greatest(length(text), 1), 5) AS digit_ratio,
+       round(len(list_filter(regexp_split_to_array(text, '\s+'),
+                 t -> t IN ('the','of','and','to','in','is','it','that'))) * 1.0
+             / greatest(len(regexp_split_to_array(text, '\s+')), 1), 5)
+         AS stopword_ratio,
+       round(len(list_distinct(regexp_split_to_array(text, '\s+'))) * 1.0
+             / greatest(len(regexp_split_to_array(text, '\s+')), 1), 5)
+         AS uniq_token_ratio
+FROM documents
+""")
 def q_quality_scores(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return quality_scores(d, "doc_id", "text")
 
 
-@register("language_id_heuristic")  # rows-only
+def _lang_votes_sql(lang: str, words: list[str]) -> str:
+    lst = ",".join(f"'{w}'" for w in words)
+    return (r"len(list_filter(regexp_split_to_array(lower(text), '\s+'),"
+            f" t -> t IN ({lst})))")
+
+
+_LID_VOTES = {lang: _lang_votes_sql(lang, words)
+              for lang, words in _STOPWORDS.items()}
+_LID_BEST = "greatest(" + ", ".join(f"v_{l}" for l in _LID_VOTES) + ")"
+_LID_CASE = " ".join(f"WHEN v_{l} = {_LID_BEST} THEN '{l}'" for l in _LID_VOTES)
+
+
+@register("language_id_heuristic", rf"""
+WITH v AS (
+  SELECT doc_id, text,
+         {", ".join(f"CAST({expr} AS BIGINT) AS v_{l}"
+                    for l, expr in _LID_VOTES.items())},
+         len(regexp_extract_all(text, '[\x{{4E00}}-\x{{9FFF}}]')) * 1.0
+           / greatest(length(text), 1) AS cjk
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN cjk > 0.2 THEN 'zh' {_LID_CASE} ELSE 'und' END AS pred_lang,
+       {", ".join(f"v_{l} AS votes_{l}" for l in _LID_VOTES)}
+FROM v
+""")
 def q_language_id(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return language_id(d, "doc_id", "text")
@@ -49,11 +93,15 @@ def q_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-@register("minhash_signatures_sample")  # rows-only
+@register("minhash_signatures_sample")  # rows-only (murmur-based)
 def q_minhash_signatures(spark, sf_dir):
+    """Scalar rows (doc_id, perm_idx, sig_value): the driver canonicalizer
+    sorts output cells, so array columns are exploded here; library callers
+    get the array form from minhash_signatures directly."""
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .filter(F.col("doc_id") < 50))
-    return minhash_signatures(d, "doc_id", "text", k=5, num_perm=32)
+    sigs = minhash_signatures(d, "doc_id", "text", k=5, num_perm=32)
+    return sigs.select("doc_id", F.posexplode("sig").alias("perm_idx", "sig_value"))
 
 
 @register("simhash_near_dups")  # rows-only
@@ -71,8 +119,11 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_lsh(e.filter(F.col("vec_id") != first["vec_id"]), qv, k=10)
 
 
-@register("winnowing_fingerprints_sample")  # rows-only
+@register("winnowing_fingerprints_sample")  # rows-only (murmur-based)
 def q_winnowing(spark, sf_dir):
+    """Scalar rows (doc_id, fingerprint) — exploded for the same
+    canonicalizer reason as minhash_signatures_sample."""
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .filter(F.col("doc_id") < 50))
-    return winnowing_fingerprints(d, "doc_id", "text")
+    fps = winnowing_fingerprints(d, "doc_id", "text")
+    return fps.select("doc_id", F.explode("fingerprints").alias("fingerprint"))

@@ -45,9 +45,24 @@ def bloom_containment_search(spark, sf_dir):
     return containment_search(sk, [(0, FLAGSHIP_SNIPPET)], DOC_CFG, threshold=0.5)
 
 
-@register("sketch_build_metrics")  # A14 running totals
+@register("sketch_build_metrics", f"""
+WITH agg AS (
+  SELECT CAST(count(DISTINCT source || chr(10) || lang) AS BIGINT) AS n_groups,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(greatest(length(text) - {KGRAM_K - 1}, 0)) AS BIGINT) AS n_kgrams
+  FROM documents
+)
+SELECT kind, n_groups, n_rows, n_kgrams
+FROM agg CROSS JOIN (SELECT unnest(['bloom', 'hll', 'cms', 'kll']) AS kind)
+""")
 def sketch_build_metrics(spark, sf_dir):
-    return sketch_metrics(doc_sketches(spark, sf_dir)).orderBy("kind")
+    """A14 running totals. n_groups / n_rows / n_kgrams are EXACT counters
+    carried through the sketch build (`maestro_main.cpp:956-983` analog),
+    so they get a DuckDB twin; state_bytes (serialization-dependent) stays
+    on the library `sketch_metrics` surface only."""
+    return (sketch_metrics(doc_sketches(spark, sf_dir))
+            .select("kind", "n_groups", "n_rows", "n_kgrams")
+            .orderBy("kind"))
 
 
 def _decode_states(sk: DataFrame, kind: str) -> pd.DataFrame:
