@@ -92,7 +92,9 @@ void mm3_sliding_multiseed(const uint8_t *buf, int64_t len, int64_t k,
     uint32_t tk[MM3_CHUNK];
     for (int64_t c0 = 0; c0 < n; c0 += MM3_CHUNK) {
         int64_t cn = n - c0 < MM3_CHUNK ? n - c0 : MM3_CHUNK;
-        int64_t nmix = nblocks ? cn + 4 * (nblocks - 1) + 1 : 0;
+        /* last mixed index used is cn-1 + 4*(nblocks-1); one more would
+           read past buf when k %% 4 == 0 and the buffer ends page-aligned */
+        int64_t nmix = nblocks ? cn + 4 * (nblocks - 1) : 0;
         for (int64_t j = 0; j < nmix; j++) {
             uint32_t k1 = load32(buf + c0 + j);
             k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
@@ -227,12 +229,35 @@ void cms_update(uint64_t *table, int64_t depth, int64_t log2w,
 _CFLAGS = ["-O3", "-march=native", "-funroll-loops"]
 
 
+def _cache_dir() -> str:
+    """Per-user 0700 cache dir — never the shared world-writable temp dir
+    (a predictable path there would let another local user pre-plant a
+    malicious .so that CDLL loads at import time)."""
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    d = os.path.join(base, "kwage_native")
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    except OSError:
+        d = os.path.join(tempfile.gettempdir(), f"kwage_native_{os.getuid()}")
+        os.makedirs(d, mode=0o700, exist_ok=True)
+    return d
+
+
+def _owned_by_me(path: str) -> bool:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid()
+
+
 def _compile() -> str | None:
     tag = hashlib.sha256(
         (_C_SOURCE + " ".join(_CFLAGS)).encode()).hexdigest()[:12]
-    cache = os.path.join(tempfile.gettempdir(), f"kwage_native_{tag}")
+    cache = os.path.join(_cache_dir(), f"kwage_native_{tag}")
     so = cache + ".so"
-    if os.path.exists(so):
+    if os.path.exists(so) and _owned_by_me(so):
         return so
     cc = None
     for cand in ("cc", "gcc", "clang"):

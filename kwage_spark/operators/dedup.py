@@ -21,6 +21,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +59,20 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         gen, schema=f"{id_col} long, sig array<bigint>")
 
 
+def band_keys(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
+    """(id, band, bkey) band rows — deliberately WITHOUT the signature
+    column: the LSH candidate self-join shuffles these rows xbands x2, so
+    carrying the full num_perm-element sig through that shuffle would
+    multiply its volume ~2xbands. Signatures rejoin once per candidate
+    pair for verification (see minhash_lsh_pairs)."""
+    band_cols = F.explode(F.expr(
+        f"transform(sequence(0, {bands - 1}),"
+        f" b -> struct(b AS band, hash(slice(sig, b * {r} + 1, {r})) AS bkey))"
+    )).alias("bb")
+    return sigs.select(id_col, band_cols).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 5, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.7) -> DataFrame:
@@ -70,25 +85,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, num_perm)
+    # persisted: the plan reads sigs three times (banding + both rejoin
+    # sides); without a cache the murmur pass over the corpus re-runs x3
+    sigs = (minhash_signatures(df, id_col, text_col, k, num_perm)
+            .persist(StorageLevel.MEMORY_AND_DISK))
 
-    band_cols = F.explode(F.expr(
-        f"transform(sequence(0, {bands - 1}),"
-        f" b -> struct(b AS band, hash(slice(sig, b * {r} + 1, {r})) AS bkey))"
-    )).alias("bb")
-    banded = sigs.select(id_col, "sig", band_cols).select(
-        id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    banded = band_keys(sigs, id_col, bands, r)
 
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bkey") == F.col("b.bkey"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.sig").alias("sig_a"),
-                    F.col("b.sig").alias("sig_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand_ids = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bkey") == F.col("b.bkey"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand_ids.join(sa, "id_a").join(sb, "id_b")
 
     sig_j = (F.size(F.expr(
         "filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))

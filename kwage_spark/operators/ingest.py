@@ -122,6 +122,18 @@ def _feed_group_ranges(states: dict[str, object], cfg: SketchConfig,
     return n_kgrams
 
 
+def _content_buf(batch, cfg: SketchConfig):
+    """Content column's raw data buffer as uint8, or None for a 0-row
+    batch; an all-empty/all-null column (None data buffer) yields an empty
+    array so offset math still works."""
+    if batch.num_rows == 0:
+        return None
+    dbuf = batch.column(
+        batch.schema.get_field_index(cfg.content_col)).buffers()[2]
+    return (np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None
+            else np.empty(0, dtype=np.uint8))
+
+
 def _arrow_groups(batch, cfg: SketchConfig):
     """Yield (key_tuple, starts, lens, sizes, n_rows) for each group in a
     pyarrow.RecordBatch, touching only Arrow buffers + numpy.
@@ -142,7 +154,9 @@ def _arrow_groups(batch, cfg: SketchConfig):
         odt = np.int32
     off_buf, data_buf = content.buffers()[1], content.buffers()[2]
     offs = np.frombuffer(off_buf, dtype=odt)[content.offset:content.offset + n + 1]
-    buf = np.frombuffer(data_buf, dtype=np.uint8)
+    # all-empty / all-null string columns carry a None data buffer
+    buf = (np.frombuffer(data_buf, dtype=np.uint8) if data_buf is not None
+           else np.empty(0, dtype=np.uint8))
     starts_all = offs[:-1].astype(np.int64)
     lens_all = np.diff(offs).astype(np.int64)
 
@@ -153,11 +167,14 @@ def _arrow_groups(batch, cfg: SketchConfig):
     else:
         sizes_all = lens_all.astype(np.float64)
 
-    gcols = [batch.column(batch.schema.get_field_index(c))
+    # null group keys are keyed as "" (dictionary indices with nulls would
+    # otherwise convert to float/NaN and break argsort/int below)
+    gcols = [pc.fill_null(
+                 batch.column(batch.schema.get_field_index(c))
+                 .cast(pa.string()), "")
              for c in cfg.group_cols]
-    key_arr = (gcols[0].cast(pa.string()) if len(gcols) == 1 else
-               pc.binary_join_element_wise(
-                   *[g.cast(pa.string()) for g in gcols], "\x00"))
+    key_arr = (gcols[0] if len(gcols) == 1 else
+               pc.binary_join_element_wise(*gcols, "\x00"))
     codes_arr = pc.dictionary_encode(key_arr)
     codes = codes_arr.indices.to_numpy(zero_copy_only=False)
     dictionary = codes_arr.dictionary.to_pylist()
@@ -186,9 +203,9 @@ def _arrow_gen_partials(cfg: SketchConfig):
     def gen_partials(batches):
         rows = []
         for batch in batches:
-            buf = np.frombuffer(
-                batch.column(batch.schema.get_field_index(
-                    cfg.content_col)).buffers()[2], dtype=np.uint8)
+            buf = _content_buf(batch, cfg)
+            if buf is None:
+                continue
             for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
                 states = _new_states(cfg)
                 n_kgrams = _feed_group_ranges(states, cfg, buf,
@@ -346,9 +363,9 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
         # is bounded by (groups-in-partition × state size), never raw rows
         acc: dict[tuple, tuple[dict, int, int]] = {}
         for batch in batches:
-            buf = np.frombuffer(
-                batch.column(batch.schema.get_field_index(
-                    cfg.content_col)).buffers()[2], dtype=np.uint8)
+            buf = _content_buf(batch, cfg)
+            if buf is None:
+                continue
             for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
                 entry = acc.get(key)
                 if entry is None:

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..kernels.bloom import BloomState
 from ..kernels.registry import merge_state_blobs, state_from_bytes
@@ -33,6 +34,37 @@ def merge_grouped_states(partials: DataFrame, group_cols: list[str]) -> DataFram
     return (partials
             .groupBy(*group_cols, "kind")
             .applyInPandas(merge_group, schema=schema))
+
+
+def merge_states_global(df: DataFrame, kind: str) -> DataFrame:
+    """Tree-merge ALL states of one kind into a single row — the two-level
+    distributed form of a global sketch union (A5 algebra): level 1 folds
+    each partition's states into one partial (mapInPandas, executor-side);
+    level 2 merges the ≤n_partitions partials in one tiny final task.
+
+    Never funnels per-group blobs through the driver: at 10⁶ groups ×
+    ~100 KB CMS states, level 1 reduces the final stage's input from
+    ~100 GB to n_partitions rows."""
+    src = (df.filter(F.col("kind") == kind)
+           .select("kind", "state", "n_rows", "n_kgrams"))
+
+    def partial(batches):
+        acc, n_rows, n_kgrams = None, 0, 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            merged = merge_state_blobs(bytes(b) for b in pdf["state"])
+            acc = (merged if acc is None
+                   else merge_state_blobs([acc, merged]))
+            n_rows += int(pdf["n_rows"].sum())
+            n_kgrams += int(pdf["n_kgrams"].sum())
+        if acc is not None:
+            yield pd.DataFrame({"kind": [kind], "state": [acc],
+                                "n_rows": [n_rows], "n_kgrams": [n_kgrams]})
+
+    schema = "kind string, state binary, n_rows long, n_kgrams long"
+    partials = src.mapInPandas(partial, schema=schema)
+    return merge_grouped_states(partials, [])
 
 
 def merge_sketch_tables(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:

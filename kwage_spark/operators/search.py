@@ -19,6 +19,7 @@ Semantics replicated exactly:
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -27,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import KIND_BLOOM, SketchConfig
-from ..kernels.bloom import _HDR, BloomState
+from ..kernels.bloom import _HDR, _MAGIC as _BLOOM_MAGIC, BloomState
 from ..kernels.shingle import unique_query_hashes
 
 _ = BloomState  # re-exported for callers that parse single states
@@ -66,6 +67,7 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
     hdr_size = _HDR.size  # BloomState header prefix before raw bits
     n_bytes = cfg.bloom.n_bytes
     num_hash = cfg.bloom.num_hash
+    cfg_log2_m = cfg.bloom.log2_m
     schema = ", ".join(f"{c} string" for c in gcols) + ", " + RESULT_SCHEMA_TAIL
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -82,6 +84,22 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
                 continue
             B = np.empty((n, n_bytes), dtype=np.uint8)
             for i, s in enumerate(pdf["state"].to_numpy()):
+                # validate each row's serialized header (12 cheap bytes)
+                # BEFORE the fixed-offset bit read: a state written with a
+                # different (log2_m, num_hash) would otherwise be scanned
+                # with the wrong mask / truncated bits and return silently
+                # wrong counts (heterogeneous stores must fold() first)
+                # plain format string: struct.Struct objects don't pickle
+                magic, _ver, row_l2m, row_nh = struct.unpack_from("<IBBB", s, 0)
+                if magic != _BLOOM_MAGIC:
+                    raise ValueError("containment_search: non-bloom state "
+                                     f"magic 0x{magic:08x} in bloom rows")
+                if row_l2m != cfg_log2_m or row_nh != num_hash:
+                    raise ValueError(
+                        "containment_search: state params (log2_m="
+                        f"{row_l2m}, num_hash={row_nh}) != cfg ("
+                        f"{cfg_log2_m}, {num_hash}); fold() the store or "
+                        "search with the matching SketchConfig")
                 B[i] = np.frombuffer(s, dtype=np.uint8, count=n_bytes,
                                      offset=hdr_size)
             gvals = {c: pdf[c].to_numpy() for c in gcols}

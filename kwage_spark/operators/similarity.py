@@ -46,19 +46,8 @@ def lsh_plan_buckets(spark, dim: int, n_planes: int = 10):
     return rng.standard_normal((n_planes, dim))
 
 
-def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
-                 id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_planes: int = 10) -> DataFrame:
-    """Approximate top-k: hyperplane-bucket candidates (multi-probe: the
-    query's bucket plus every 1-bit flip), exact cosine re-rank within.
-
-    At 100 TB the bucket column is precomputed & the table partitioned by
-    it, making a query a partition-pruned scan; here the bucket UDF runs
-    inline on the same seeded planes, so index and probe always agree.
-    """
-    qv = np.asarray(query_vec, dtype=np.float64)
-    planes = lsh_plan_buckets(df.sparkSession, qv.shape[0], n_planes)
-    bp = df.sparkSession.sparkContext.broadcast(planes)
+def _bucket_udf(spark, planes: np.ndarray):
+    bp = spark.sparkContext.broadcast(planes)
 
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
@@ -67,16 +56,72 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
         signs = (mat @ p.T) > 0
         return pd.Series((signs * (1 << np.arange(p.shape[0]))).sum(axis=1)
                          .astype(np.int64))
+    return bucket_of
 
-    qsig = int(((qv @ planes.T) > 0) @ (1 << np.arange(n_planes)))
-    probes = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
 
-    spark = df.sparkSession
-    q = spark.createDataFrame([(query_vec,)], "qv array<float>")
-    return (df.withColumn("bucket", bucket_of(F.col(vec_col)))
-            .filter(F.col("bucket").isin(probes))
-            .crossJoin(F.broadcast(q))
+def _probe_buckets(query_vec, planes: np.ndarray) -> list[int]:
+    """Multi-probe set: the query's bucket plus every 1-bit flip."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(((qv @ planes.T) > 0) @ (1 << np.arange(planes.shape[0])))
+    return [qsig] + [qsig ^ (1 << i) for i in range(planes.shape[0])]
+
+
+def _rerank_topk(cands: DataFrame, query_vec, k: int,
+                 id_col: str, vec_col: str) -> DataFrame:
+    q = cands.sparkSession.createDataFrame([(list(map(float, query_vec)),)],
+                                           "qv array<float>")
+    return (cands.crossJoin(F.broadcast(q))
             .withColumn("cosine", _cos_cols(vec_col))
             .orderBy(F.desc("cosine"), id_col)
             .select(id_col, F.round("cosine", 5).alias("cosine"))
             .limit(k))
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_planes: int = 10) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket candidates (multi-probe: the
+    query's bucket plus every 1-bit flip), exact cosine re-rank within.
+
+    Inline form — the bucket UDF runs over the full scan. For the 100-TB
+    path precompute the layout once with build_ann_index and query with
+    ann_topk_indexed, which prunes partitions at the scan.
+    """
+    qv = np.asarray(query_vec, dtype=np.float64)
+    planes = lsh_plan_buckets(df.sparkSession, qv.shape[0], n_planes)
+    bucket_of = _bucket_udf(df.sparkSession, planes)
+    probes = _probe_buckets(query_vec, planes)
+    cands = (df.withColumn("bucket", bucket_of(F.col(vec_col)))
+             .filter(F.col("bucket").isin(probes)))
+    return _rerank_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def build_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_planes: int = 10) -> None:
+    """Materialize the hyperplane-bucketed ANN layout: rows written
+    partitioned by their bucket (hive layout), so a probe reads only
+    n_planes+1 of 2^n_planes partition directories. The planes are a pure
+    function of (HYPERPLANE_SEED, dim), so index and probe always agree."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot index an empty table")
+    planes = lsh_plan_buckets(df.sparkSession, first["d"], n_planes)
+    bucket_of = _bucket_udf(df.sparkSession, planes)
+    (df.select(id_col, vec_col)
+     .withColumn("bucket", bucket_of(F.col(vec_col)))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def ann_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = 10) -> DataFrame:
+    """Query a build_ann_index layout: the bucket .isin(probes) predicate
+    is a PARTITION filter (verify PartitionFilters in the plan), so the
+    scan touches (n_planes+1)/2^n_planes of the index, then re-ranks
+    exactly — the Spark analog of an IVF probe."""
+    df = spark.read.parquet(path)
+    dim = len(query_vec)
+    planes = lsh_plan_buckets(spark, dim, n_planes)
+    probes = _probe_buckets(query_vec, planes)
+    cands = df.filter(F.col("bucket").isin(probes))
+    return _rerank_topk(cands, query_vec, k, id_col, vec_col)

@@ -156,10 +156,12 @@ FROM (SELECT o_orderkey,
 GROUP BY chunk_id
 """)
 def chunk_binpack(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderkey")
-    return (o.select("o_orderkey",
-                     F.floor((F.row_number().over(w) - 1) / 2048).alias("chunk_id"))
+    """A12 chunked packing via the two-pass global rank (range shuffle +
+    broadcast prefix offsets, operators/binpack.py) — an unpartitioned
+    row_number window would pull the whole table through ONE task."""
+    from .operators.binpack import chunked_ids
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return (chunked_ids(o, "o_orderkey", chunk_size=2048)
             .groupBy("chunk_id")
             .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("first_key")))
 

@@ -11,18 +11,14 @@ The `documents` table plays the role of the source_files input
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import functions as fx
 from .config import SketchConfig
 from .kernels.bloom import BloomParams
-from .kernels.cms import CMSState
-from .kernels.hll import HLLState
-from .kernels.kll import KLLState
-from .kernels.registry import state_from_bytes
 from .operators.ingest import build_sketches, sketch_metrics
+from .operators.merge import merge_states_global
 from .operators.search import containment_search
 from .queries import FLAGSHIP_SNIPPET, KGRAM_K, register
 
@@ -65,35 +61,31 @@ def sketch_build_metrics(spark, sf_dir):
             .orderBy("kind"))
 
 
-def _decode_states(sk: DataFrame, kind: str) -> pd.DataFrame:
-    pdf = sk.filter(F.col("kind") == kind).toPandas()
-    pdf["st"] = pdf["state"].map(lambda b: state_from_bytes(bytes(b)))
-    return pdf
-
-
 @register("hll_distinct_kgrams")  # A15 — HLL estimate per group
 def hll_distinct_kgrams(spark, sf_dir):
-    pdf = _decode_states(doc_sketches(spark, sf_dir), "hll")
-    out = pd.DataFrame({
-        "source": pdf["source"], "lang": pdf["lang"],
-        "est_distinct_kgrams": [int(st.estimate()) for st in pdf["st"]],
-    })
-    return spark.createDataFrame(out.sort_values(["source", "lang"]))
+    """Estimates computed EXECUTOR-SIDE via the fx.hll_estimate pandas UDF
+    — no state blob ever reaches the driver (at 10⁶ groups the old
+    toPandas() decode was ~GBs through one process)."""
+    sk = doc_sketches(spark, sf_dir).filter(F.col("kind") == "hll")
+    return (sk.select("source", "lang",
+                      F.floor(fx.hll_estimate("state")).cast("long")
+                       .alias("est_distinct_kgrams"))
+            .orderBy("source", "lang"))
 
 
 @register("cms_token_frequencies")  # A2 — CMS point queries for fixed tokens
 def cms_token_frequencies(spark, sf_dir):
+    """Global CMS = two-level distributed tree merge (partition partials →
+    one tiny final merge, merge_states_global); probes join against the
+    single merged row and evaluate executor-side via fx.cms_query."""
     sk = doc_sketches(spark, sf_dir)
-    pdf = _decode_states(sk, "cms")
-    whole = CMSState(DOC_CFG.cms_log2_w, DOC_CFG.cms_depth)
-    for st in pdf["st"]:
-        whole.merge(st)
+    whole = merge_states_global(sk, "cms")
     probes = ["table va", "hash val", "row scan", "filter d", "zz-never"]
-    wins = np.stack([np.frombuffer(p.encode()[:KGRAM_K].ljust(KGRAM_K), dtype=np.uint8)
-                     for p in probes])
-    est = whole.query_windows(wins)
-    return spark.createDataFrame(
-        pd.DataFrame({"probe": probes, "est_count": est.astype("int64")}))
+    pdf_probes = spark.createDataFrame([(p,) for p in probes], "probe string")
+    return (whole.crossJoin(F.broadcast(pdf_probes))
+            .select("probe",
+                    fx.cms_query("state", "probe", k=KGRAM_K).alias("est_count"))
+            .orderBy("probe"))
 
 
 @register("kll_size_quantiles")  # A16 — per-lang file-size quantiles
@@ -102,12 +94,11 @@ def kll_size_quantiles(spark, sf_dir):
                        size_col="n_chars", kinds=("kll",),
                        bloom=DOC_CFG.bloom, kll_k=200)
     sk = build_sketches(_docs(spark, sf_dir), cfg)
-    pdf = sk.toPandas()
-    pdf["st"] = pdf["state"].map(lambda b: state_from_bytes(bytes(b)))
-    rows = [{"lang": r.lang,
-             "p25": r.st.quantile(0.25), "p50": r.st.quantile(0.5),
-             "p75": r.st.quantile(0.75)} for r in pdf.itertuples()]
-    return spark.createDataFrame(pd.DataFrame(rows).sort_values("lang"))
+    qs = sk.select("lang", fx.sketch_quantiles("state", [0.25, 0.5, 0.75])
+                   .alias("qs"))
+    return (qs.select("lang", F.col("qs")[0].alias("p25"),
+                      F.col("qs")[1].alias("p50"), F.col("qs")[2].alias("p75"))
+            .orderBy("lang"))
 
 
 @register("tdigest_size_quantiles")  # A16 twin of kll_size_quantiles:
@@ -118,25 +109,21 @@ def tdigest_size_quantiles(spark, sf_dir):
                        size_col="n_chars", kinds=("tdigest",),
                        bloom=DOC_CFG.bloom, tdigest_delta=100)
     sk = build_sketches(_docs(spark, sf_dir), cfg)
-    pdf = sk.toPandas()
-    pdf["st"] = pdf["state"].map(lambda b: state_from_bytes(bytes(b)))
-    rows = [{"lang": r.lang,
-             "p01": r.st.quantile(0.01), "p50": r.st.quantile(0.5),
-             "p99": r.st.quantile(0.99)} for r in pdf.itertuples()]
-    return spark.createDataFrame(pd.DataFrame(rows).sort_values("lang"))
+    qs = sk.select("lang", fx.sketch_quantiles("state", [0.01, 0.5, 0.99])
+                   .alias("qs"))
+    return (qs.select("lang", F.col("qs")[0].alias("p01"),
+                      F.col("qs")[1].alias("p50"), F.col("qs")[2].alias("p99"))
+            .orderBy("lang"))
 
 
 @register("bloom_fp_audit")  # error-bound conformance as a query
 def bloom_fp_audit(spark, sf_dir):
-    """Per-group measured FP stats vs the published bound (bloom.cpp:47)."""
-    pdf = _decode_states(doc_sketches(spark, sf_dir), "bloom")
-    rows = []
-    for r in pdf.itertuples():
-        st = r.st
-        bound = st.params.fp_rate(st.n_items)
-        load = st.popcount() / st.params.m
-        rows.append({"source": r.source, "lang": r.lang,
-                     "n_items": int(st.n_items),
-                     "fill_ratio": round(load, 6),
-                     "fp_bound": round(bound, 6)})
-    return spark.createDataFrame(pd.DataFrame(rows).sort_values(["source", "lang"]))
+    """Per-group measured FP stats vs the published bound (bloom.cpp:47),
+    computed executor-side by the fx.bloom_stats struct UDF."""
+    sk = doc_sketches(spark, sf_dir).filter(F.col("kind") == "bloom")
+    st = sk.select("source", "lang", fx.bloom_stats("state").alias("bs"))
+    return (st.select("source", "lang",
+                      F.col("bs.n_items").alias("n_items"),
+                      F.round("bs.fill_ratio", 6).alias("fill_ratio"),
+                      F.round("bs.fp_bound", 6).alias("fp_bound"))
+            .orderBy("source", "lang"))

@@ -40,41 +40,58 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 
 def write_sketch_store(sketches: DataFrame, path: str, group_col: str,
-                       buckets: int = 64, mode: str = "overwrite") -> None:
+                       buckets: int = 64, mode: str = "overwrite",
+                       format: str = "parquet") -> None:
     """Persist sketch rows bucketed by hash(group_col).
 
     ~64 buckets keeps files large at 100 TB-derived sketch volumes while
     making single-group reads touch 1/64th of the data (≙ KWAGE's ≤2048
     filters/file packing, `options.h:137-138`, but pruned by layout).
+
+    ``format`` is EXPLICIT ('parquet' | 'iceberg'), never inferred from
+    classpath + path shape: an 's3a://' or relative parquet path must not
+    silently route to a catalog lookup. With 'iceberg', ``path`` is a
+    table identifier and ``mode`` maps to append / createOrReplace.
     """
     out = _with_bucket(sketches, group_col, buckets)
-    spark = sketches.sparkSession
-    if iceberg_available(spark) and not path.startswith(("/", "file:")):
-        # `path` is an Iceberg table identifier in a configured catalog
-        (out.writeTo(path).partitionedBy(F.col(BUCKET_COL))
-         .createOrReplace())
+    if format == "iceberg":
+        if not iceberg_available(sketches.sparkSession):
+            raise RuntimeError("format='iceberg' but no Iceberg runtime "
+                               "on the classpath")
+        w = out.writeTo(path).partitionedBy(F.col(BUCKET_COL))
+        if mode == "append":
+            w.append()
+        else:
+            w.createOrReplace()
         return
+    if format != "parquet":
+        raise ValueError(f"unknown store format {format!r}")
     (out.write.mode(mode).partitionBy(BUCKET_COL).parquet(path))
 
 
-def read_sketch_store(spark: SparkSession, path: str) -> DataFrame:
-    if iceberg_available(spark) and not path.startswith(("/", "file:")):
-        return spark.read.format("iceberg").load(path).drop(BUCKET_COL)
-    return spark.read.parquet(path).drop(BUCKET_COL)
+def _read_store(spark: SparkSession, path: str, format: str) -> DataFrame:
+    if format == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if format != "parquet":
+        raise ValueError(f"unknown store format {format!r}")
+    return spark.read.parquet(path)
+
+
+def read_sketch_store(spark: SparkSession, path: str,
+                      format: str = "parquet") -> DataFrame:
+    return _read_store(spark, path, format).drop(BUCKET_COL)
 
 
 def read_sketch_group(spark: SparkSession, path: str, group_col: str,
-                      value: str, buckets: int = 64) -> DataFrame:
+                      value: str, buckets: int = 64,
+                      format: str = "parquet") -> DataFrame:
     """Point lookup of one group's sketch rows.
 
     The bucket predicate is computed from the SAME hash expression used
     at write time, so the scan prunes to one partition directory before
     the row filter applies (verify via PartitionFilters in the plan).
     """
-    if iceberg_available(spark) and not path.startswith(("/", "file:")):
-        df = spark.read.format("iceberg").load(path)
-    else:
-        df = spark.read.parquet(path)
+    df = _read_store(spark, path, format)
     bucket = F.pmod(F.xxhash64(F.lit(value)), F.lit(buckets)).cast("int")
     return (df.filter((F.col(BUCKET_COL) == bucket)
                       & (F.col(group_col) == value))

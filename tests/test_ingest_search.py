@@ -185,3 +185,33 @@ def test_metrics(sketches, corpus):
     n_groups = corpus.groupby(["repo", "lang"]).ngroups
     assert (m.n_groups == n_groups).all()
     assert (m.loc["bloom"].n_rows == len(corpus))
+
+
+def test_search_rejects_mismatched_filter_params(spark, sketches):
+    """A store built with different (log2_m, num_hash) must raise, not
+    scan with the wrong mask (silently wrong counts)."""
+    bad = SketchConfig(group_cols=CFG.group_cols, content_col=CFG.content_col,
+                       bloom=BloomParams(k=CFG.bloom.k,
+                                         log2_m=CFG.bloom.log2_m + 2,
+                                         num_hash=CFG.bloom.num_hash))
+    res = containment_search(sketches, [(0, "the quick brown fox jumps")],
+                             bad, threshold=0.1)
+    with pytest.raises(Exception, match="fold|param"):
+        res.collect()
+
+
+def test_ingest_handles_null_and_empty_edges(spark):
+    """0-kgram rows, null content, and null group keys must not kill tasks
+    (Arrow data buffer can be None; null keys are keyed as '')."""
+    cfg = SketchConfig(group_cols=("repo", "lang"), content_col="content")
+    rows = [("r1", "py", None), ("r1", "py", ""), (None, "py", "hello world content"),
+            ("r2", None, "another file body here"), ("r2", "go", "x" * 7)]
+    df = spark.createDataFrame(rows, "repo string, lang string, content string")
+    for combine in ("partial", "raw"):
+        out = {(r["repo"], r["lang"]): (r["n_rows"], r["n_kgrams"])
+               for r in build_sketches(df, cfg, combine=combine)
+               .filter("kind = 'bloom'").collect()}
+        assert out[("r1", "py")] == (2, 0)
+        assert out[("", "py")] == (1, 12)
+        assert out[("r2", "")] == (1, 15)
+        assert out[("r2", "go")] == (1, 0)

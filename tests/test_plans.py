@@ -72,3 +72,28 @@ def test_relational_queries_use_codegen(spark):
 def test_exact_containment_broadcasts_query_grams(spark):
     q = spark_queries()["exact_containment_flagship"](spark, SF)
     assert has_broadcast_join(q), physical_plan(q)
+
+
+def test_band_join_shuffle_excludes_signatures(spark):
+    """The LSH band self-join must shuffle (id, band, bkey) rows only —
+    carrying the num_perm-element sig xbands x2 through that shuffle is the
+    scale regression flagged in round 1 (operators/dedup.py band_keys)."""
+    from kwage_spark.operators.dedup import band_keys, minhash_signatures
+    df = spark.createDataFrame(
+        [(i, f"some text body number {i} with shared tokens") for i in range(20)],
+        "doc_id long, text string")
+    sigs = minhash_signatures(df, "doc_id", "text", k=5, num_perm=16)
+    banded = band_keys(sigs, "doc_id", bands=4, r=4)
+    assert "sig" not in banded.columns
+    assert set(banded.columns) == {"doc_id", "band", "bkey"}
+
+
+def test_chunk_binpack_has_no_single_partition_exchange(spark):
+    """A12 packing must range-shuffle, never Exchange SinglePartition
+    (the unpartitioned row_number window regression)."""
+    from kwage_spark.plans.inspect import physical_plan
+    from kwage_spark.queries import chunk_binpack
+    df = chunk_binpack(spark, "/root/testdata/sf0.001")
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
