@@ -34,6 +34,11 @@ class SketchConfig:
     group_cols: tuple[str, ...] = ("repo", "lang")
     content_col: str = "content"
     size_col: str | None = None          # numeric column for KLL (default: content length)
+    # columns captured into a per-group `meta map<string,string>` at ingest
+    # (FilterInfo analog, `bloom.h:474-537`): the group's FIRST row wins,
+    # and merges keep the first non-null map — lineage/debug metadata, not
+    # an aggregate. Empty tuple (default) omits the column entirely.
+    meta_cols: tuple[str, ...] = ()
     kinds: tuple[str, ...] = ALL_KINDS
     bloom: BloomParams = field(default_factory=lambda: BloomParams(k=8, log2_m=16, num_hash=3))
     hll_p: int = 12

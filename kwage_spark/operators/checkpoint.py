@@ -28,10 +28,18 @@ from .ingest import build_sketches
 from .merge import merge_grouped_states
 
 
-def write_checkpoint(sketches: DataFrame, path: str) -> None:
+def write_checkpoint(sketches: DataFrame, path: str,
+                     prior_manifest: DataFrame | None = None) -> None:
     """Persist sketch rows + manifest. Data first, manifest last — a group
     is 'complete' only once its manifest row exists (two-phase ordering,
-    ≙ `binary_io.cpp:188-205`)."""
+    ≙ `binary_io.cpp:188-205`).
+
+    Attempt lineage (≙ maestro's DOWNLOAD_FAIL_1..10 counters,
+    `maestro.h:8-45`): each manifest row carries ``attempt``. Pass the
+    previous run's manifest on resume — groups already complete there keep
+    their count; groups (re)built this run get prior attempts + 1, so a
+    group that keeps failing accumulates an auditable attempt history.
+    """
     sketches.write.mode("overwrite").parquet(f"{path}/states")
     written = sketches.sparkSession.read.parquet(f"{path}/states")
 
@@ -42,13 +50,28 @@ def write_checkpoint(sketches: DataFrame, path: str) -> None:
             out["complete"] = True
             yield out
 
-    keys = [c for c in written.columns if c != "state"]
     manifest_schema = (", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in written.schema
         if f.name != "state") + ", state_crc32 long, complete boolean")
-    (written.mapInPandas(crc_rows, schema=manifest_schema)
-     .write.mode("overwrite").parquet(f"{path}/manifest"))
-    _ = keys
+    manifest = written.mapInPandas(crc_rows, schema=manifest_schema)
+    keys = [c for c in written.columns
+            if c not in ("state", "n_rows", "n_kgrams", "meta",
+                         "state_crc32", "complete")]
+    if prior_manifest is None:
+        manifest = manifest.withColumn("attempt", F.lit(1).cast("long"))
+    else:
+        prior = prior_manifest.select(
+            *keys, F.col("attempt").alias("_prior_attempt"),
+            F.col("complete").alias("_prior_complete"))
+        manifest = (manifest.join(F.broadcast(prior), keys, "left")
+                    .withColumn(
+                        "attempt",
+                        F.when(F.col("_prior_complete"),
+                               F.col("_prior_attempt"))
+                        .otherwise(F.coalesce("_prior_attempt", F.lit(0)) + 1)
+                        .cast("long"))
+                    .drop("_prior_attempt", "_prior_complete"))
+    manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
 def read_checkpoint(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from ..config import (KIND_BLOOM, KIND_CMS, KIND_HLL, KIND_KLL,
                       KIND_TDIGEST, SketchConfig)
-from ..kernels.bloom import BloomState
+from ..kernels.bloom import BloomParams, BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
@@ -178,6 +178,10 @@ def _arrow_groups(batch, cfg: SketchConfig):
     codes_arr = pc.dictionary_encode(key_arr)
     codes = codes_arr.indices.to_numpy(zero_copy_only=False)
     dictionary = codes_arr.dictionary.to_pylist()
+    mcols = {c: batch.column(batch.schema.get_field_index(c))
+                  .cast(pa.string())
+             for c in cfg.meta_cols}
+
     order = np.argsort(codes, kind="stable")
     sorted_codes = codes[order]
     bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
@@ -187,8 +191,13 @@ def _arrow_groups(batch, cfg: SketchConfig):
         ix = order[rs:re]
         key = dictionary[int(sorted_codes[rs])]
         key_tuple = tuple(key.split("\x00")) if len(cfg.group_cols) > 1 else (key,)
+        if mcols:
+            i0 = int(ix[0])  # first-row-wins metadata (FilterInfo analog)
+            meta = {c: (a[i0].as_py() or "") for c, a in mcols.items()}
+        else:
+            meta = None
         yield (key_tuple, starts_all[ix], lens_all[ix], sizes_all[ix],
-               re - rs)
+               re - rs, meta)
 
 
 def _arrow_gen_partials(cfg: SketchConfig):
@@ -206,7 +215,7 @@ def _arrow_gen_partials(cfg: SketchConfig):
             buf = _content_buf(batch, cfg)
             if buf is None:
                 continue
-            for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
+            for key, starts, lens, sizes, n_rows, meta in _arrow_groups(batch, cfg):
                 states = _new_states(cfg)
                 n_kgrams = _feed_group_ranges(states, cfg, buf,
                                               starts, lens, sizes)
@@ -214,6 +223,8 @@ def _arrow_gen_partials(cfg: SketchConfig):
                     row = dict(zip(gcols, key))
                     row.update(kind=kind, state=st.to_bytes(),
                                n_rows=n_rows, n_kgrams=n_kgrams)
+                    if meta is not None:
+                        row["meta"] = meta
                     rows.append(row)
                 if len(rows) >= 256:
                     yield _states_record_batch(rows, cfg)
@@ -228,6 +239,8 @@ def _states_record_batch(rows: list[dict], cfg: SketchConfig):
     import pyarrow as pa
     cols: dict[str, list] = {c: [] for c in cfg.group_cols}
     cols.update(kind=[], state=[], n_rows=[], n_kgrams=[])
+    if cfg.meta_cols:
+        cols["meta"] = []
     for r in rows:
         for c in cols:
             cols[c].append(r[c])
@@ -237,6 +250,10 @@ def _states_record_batch(rows: list[dict], cfg: SketchConfig):
                pa.array(cols["n_rows"], type=pa.int64()),
                pa.array(cols["n_kgrams"], type=pa.int64())]
     names = list(cfg.group_cols) + ["kind", "state", "n_rows", "n_kgrams"]
+    if cfg.meta_cols:
+        arrays.append(pa.array([list(m.items()) for m in cols["meta"]],
+                               type=pa.map_(pa.string(), pa.string())))
+        names.append("meta")
     return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
@@ -258,13 +275,17 @@ def state_bytes_per_group(cfg: SketchConfig) -> int:
 
 def sketch_schema(cfg: SketchConfig) -> str:
     keys = ", ".join(f"{c} string" for c in cfg.group_cols)
-    return f"{keys}, kind string, state binary, n_rows long, n_kgrams long"
+    base = f"{keys}, kind string, state binary, n_rows long, n_kgrams long"
+    if cfg.meta_cols:
+        base += ", meta map<string,string>"
+    return base
 
 
 def _select_inputs(df: DataFrame, cfg: SketchConfig) -> DataFrame:
     cols = list(cfg.group_cols) + [cfg.content_col]
     if cfg.size_col:
         cols.append(cfg.size_col)
+    cols += [c for c in cfg.meta_cols if c not in cols]
     return df.select(*cols)
 
 
@@ -361,25 +382,27 @@ def build_sketches(df: DataFrame, cfg: SketchConfig,
     def per_partition(batches):
         # accumulate ONE state set per group across Arrow batches: memory
         # is bounded by (groups-in-partition × state size), never raw rows
-        acc: dict[tuple, tuple[dict, int, int]] = {}
+        acc: dict[tuple, tuple[dict, int, int, dict | None]] = {}
         for batch in batches:
             buf = _content_buf(batch, cfg)
             if buf is None:
                 continue
-            for key, starts, lens, sizes, n_rows in _arrow_groups(batch, cfg):
+            for key, starts, lens, sizes, n_rows, meta in _arrow_groups(batch, cfg):
                 entry = acc.get(key)
                 if entry is None:
-                    entry = (_new_states(cfg), 0, 0)
+                    entry = (_new_states(cfg), 0, 0, meta)
                 n_kgrams = _feed_group_ranges(entry[0], cfg, buf,
                                               starts, lens, sizes)
                 acc[key] = (entry[0], entry[1] + n_rows,
-                            entry[2] + n_kgrams)
+                            entry[2] + n_kgrams, entry[3])
         rows = []
-        for key, (states, n_rows, n_kgrams) in acc.items():
+        for key, (states, n_rows, n_kgrams, meta) in acc.items():
             for kind, st in states.items():
                 row = dict(zip(gcols, key))
                 row.update(kind=kind, state=st.to_bytes(),
                            n_rows=n_rows, n_kgrams=n_kgrams)
+                if meta is not None:
+                    row["meta"] = meta
                 rows.append(row)
                 if len(rows) >= 256:
                     yield _states_record_batch(rows, cfg)
@@ -413,6 +436,30 @@ def build_sketches_salted(df: DataFrame, cfg: SketchConfig,
     # so subgroup states merge back in the same grouped-reduce stage
     partials = stage1_in.mapInArrow(_arrow_gen_partials(cfg), schema=schema)
     return merge_grouped_states(partials, gcols)
+
+
+def config_for_corpus(src: DataFrame, base: SketchConfig,
+                      p_target: float = 0.25,
+                      stats: tuple | None = None) -> SketchConfig:
+    """Size the Bloom filter from corpus statistics (≙ `optimal_bloom_param`,
+    `bloom.cpp:10-68`, wired to the ingest stats scan instead of a per-SRA
+    count): pick the smallest power-of-two m whose published FP bound meets
+    ``p_target`` at the ESTIMATED per-group k-gram count.
+
+    One size for the whole table (not per-group adaptive) so states stay
+    merge-compatible without fold()s — SURVEY §7.3; skewed mega-groups
+    exceed the average, so the estimate uses 4x the mean as headroom
+    (cheap: doubling m costs one log2 step).
+    """
+    st = stats or corpus_stats(_select_inputs(df=src, cfg=base), base)
+    n_rows, n_groups, content_bytes = st[0], st[1], st[2]
+    if n_rows == 0:
+        return base
+    total_kgrams = max(content_bytes - n_rows * (base.k - 1), n_rows)
+    per_group = max(1, total_kgrams // n_groups)
+    params = BloomParams.optimal(per_group * 4, p_target=p_target, k=base.k)
+    import dataclasses
+    return dataclasses.replace(base, bloom=params)
 
 
 def sketch_metrics(sketches: DataFrame) -> DataFrame:

@@ -68,7 +68,11 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
     n_bytes = cfg.bloom.n_bytes
     num_hash = cfg.bloom.num_hash
     cfg_log2_m = cfg.bloom.log2_m
-    schema = ", ".join(f"{c} string" for c in gcols) + ", " + RESULT_SCHEMA_TAIL
+    has_meta = "meta" in sketches.columns  # FilterInfo passthrough (S11)
+    schema = ", ".join(f"{c} string" for c in gcols)
+    if has_meta:
+        schema += ", sample_metadata map<string,string>"
+    schema += ", " + RESULT_SCHEMA_TAIL
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Whole-batch matrix scan: stack the batch's filters into a
@@ -103,6 +107,7 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
                 B[i] = np.frombuffer(s, dtype=np.uint8, count=n_bytes,
                                      offset=hdr_size)
             gvals = {c: pdf[c].to_numpy() for c in gcols}
+            mvals = pdf["meta"].to_numpy() if has_meta else None
             frames = []
             for qid, idx, n_unique in qs:
                 if n_unique == 0:          # F10: silent no-match
@@ -124,6 +129,8 @@ def containment_search(sketches: DataFrame, queries: Sequence[tuple[int, str]],
                 if sel.size == 0:
                     continue
                 f = {c: gvals[c][sel] for c in gcols}
+                if mvals is not None:
+                    f["sample_metadata"] = mvals[sel]
                 f["query_id"] = np.full(sel.size, qid, dtype=np.int64)
                 f["num_kmers"] = np.full(sel.size, n_unique, dtype=np.int64)
                 f["num_kmers_found"] = found[sel]

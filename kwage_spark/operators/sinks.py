@@ -17,13 +17,21 @@ from pyspark.sql import functions as F
 
 def write_results_csv(results: DataFrame, path: str,
                       group_cols: list[str] | None = None) -> None:
-    """query,num_kmers,num_kmers_found,percent_kmers_found,<metadata...>"""
+    """query,num_kmers,num_kmers_found,percent_kmers_found,<group cols>,
+    [sample_metadata] — the reference CSV shape (S11, `output.h:35-59`);
+    the metadata map is rendered as a JSON string (CSV has no map type)."""
     gcols = group_cols or [c for c in results.columns
                            if c not in ("query_id", "num_kmers",
-                                        "num_kmers_found", "percent_kmers_found")]
-    cols = ["query_id", "num_kmers", "num_kmers_found",
-            "percent_kmers_found"] + gcols
-    (results.select(*cols)
+                                        "num_kmers_found", "percent_kmers_found",
+                                        "sample_metadata")]
+    out = results
+    meta_cols = []
+    if "sample_metadata" in results.columns:
+        out = out.withColumn("sample_metadata", F.to_json("sample_metadata"))
+        meta_cols = ["sample_metadata"]
+    cols = (["query_id", "num_kmers", "num_kmers_found",
+             "percent_kmers_found"] + gcols + meta_cols)
+    (out.select(*cols)
      .write.mode("overwrite").option("header", True).csv(path))
 
 
@@ -35,7 +43,9 @@ def results_to_bigsi_json(results: DataFrame, threshold: float,
     Result lists keep descending num_kmers_found order (Q8)."""
     gcols = group_cols or [c for c in results.columns
                            if c not in ("query_id", "num_kmers",
-                                        "num_kmers_found", "percent_kmers_found")]
+                                        "num_kmers_found", "percent_kmers_found",
+                                        "sample_metadata")]
+    has_meta = "sample_metadata" in results.columns
     rows = results.orderBy("query_id", F.desc("num_kmers_found")).collect()
     out: dict[str, dict] = {}
     for r in rows:
@@ -45,6 +55,8 @@ def results_to_bigsi_json(results: DataFrame, threshold: float,
             "results": [],
         })
         rec = {c: r[c] for c in gcols}
+        if has_meta:
+            rec["sample_metadata"] = dict(r["sample_metadata"] or {})
         rec.update({
             "percent_kmers_found": r["percent_kmers_found"],
             "num_kmers": r["num_kmers"],

@@ -241,12 +241,16 @@ FROM dgrams d JOIN qgrams q USING (gram)
 GROUP BY d.source
 """)
 def exact_containment_flagship(spark, sf_dir):
-    """Q11 exact verifier as the SQL-checked twin of the Bloom search."""
+    """Q11 exact verifier as the SQL-checked twin of the Bloom search.
+
+    The query snippet is a driver literal, so its unique k-grams are
+    digested in plain Python (Q1) — no Spark job for the count, and the
+    gram set ships as a local relation into the broadcast join."""
     d = _t(spark, sf_dir, "documents")
-    q = spark.createDataFrame([(FLAGSHIP_SNIPPET,)], "snippet string")
-    qgrams = (q.select(F.explode(F.expr(kgram_sql("snippet", KGRAM_K))).alias("gram"))
-              .distinct())
-    n_q = qgrams.count()
+    grams = sorted({FLAGSHIP_SNIPPET[i:i + KGRAM_K]
+                    for i in range(len(FLAGSHIP_SNIPPET) - KGRAM_K + 1)})
+    n_q = len(grams)
+    qgrams = spark.createDataFrame([(g,) for g in grams], "gram string")
     # broadcast-join BEFORE distinct: the join keeps only grams present in
     # the (tiny) query set, so the distinct shuffles a few hundred rows
     # instead of every k-gram in the corpus — at 100 TB the pre-filter is

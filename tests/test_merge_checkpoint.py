@@ -100,3 +100,47 @@ def test_resume_cold_start_without_checkpoint(spark, corpus, tmp_path):
     files = spark.createDataFrame(corpus)
     out = resume_ingest(spark, files, CFG, str(tmp_path / "missing"))
     assert out.count() == build_sketches(files, CFG).count()
+
+
+def test_attempt_lineage_across_resume(spark, corpus, tmp_path):
+    """Manifest attempt counters (maestro.h:8-45 analog): groups carried
+    from a complete prior checkpoint keep attempt=1; groups (re)built on
+    the resume run get prior attempts + 1."""
+    files = spark.createDataFrame(corpus)
+    partial = build_sketches(
+        files.filter(F.col("repo").isin("org0/repo0", "org1/repo1")), CFG)
+    path = str(tmp_path / "attempt_ckpt")
+    write_checkpoint(partial, path)
+    _, manifest1 = read_checkpoint(spark, path)
+    assert {r["attempt"] for r in manifest1.collect()} == {1}
+
+    resumed = resume_ingest(spark, files, CFG, path)
+    path2 = str(tmp_path / "attempt_ckpt2")
+    write_checkpoint(resumed, path2, prior_manifest=manifest1)
+    _, manifest2 = read_checkpoint(spark, path2)
+    att = {(r["repo"], r["kind"]): r["attempt"] for r in manifest2.collect()}
+    assert att[("org0/repo0", "bloom")] == 1      # carried through
+    assert att[("org2/repo2", "bloom")] == 1      # first build on run 2
+    # a third run rebuilding everything bumps only the incomplete ones;
+    # simulate a failed group by marking it incomplete in manifest2
+    m2_edit = manifest2.withColumn(
+        "complete", F.when(F.col("repo") == "org2/repo2", F.lit(False))
+        .otherwise(F.col("complete")))
+    path3 = str(tmp_path / "attempt_ckpt3")
+    write_checkpoint(resumed, path3, prior_manifest=m2_edit)
+    _, manifest3 = read_checkpoint(spark, path3)
+    att3 = {(r["repo"], r["kind"]): r["attempt"] for r in manifest3.collect()}
+    assert att3[("org2/repo2", "bloom")] == 2     # failed once, retried
+    assert att3[("org0/repo0", "bloom")] == 1
+
+
+def test_config_for_corpus_meets_fp_target(spark, corpus):
+    from kwage_spark.operators.ingest import config_for_corpus
+    files = spark.createDataFrame(corpus)
+    cfg = config_for_corpus(files, CFG, p_target=0.1)
+    sk = build_sketches(files, cfg).filter(F.col("kind") == "bloom")
+    for r in sk.collect():
+        st = state_from_bytes(bytes(r["state"]))
+        # the sizing headroom (4x mean) must hold the bound for typical
+        # groups; assert the published bound at each group's actual n
+        assert st.params.fp_rate(st.n_items) <= 0.1 * 4 or st.n_items == 0
