@@ -31,7 +31,14 @@ from ..kernels.shingle import unique_query_hashes
 __all__ = [
     "hll_estimate", "cms_query", "kll_quantile", "tdigest_quantile",
     "sketch_quantiles", "bloom_stats", "bloom_contains", "sketch_n_items",
+    "icontains",
 ]
+
+
+def icontains(col: Column | str, needle: str) -> Column:
+    """Case-insensitive substring test (H11, ≙ the reference's
+    case-folded find over metadata fields) — pure built-ins, codegen."""
+    return F.instr(F.lower(col), needle.lower()) > 0
 
 
 def hll_estimate(state: Column | str) -> Column:

@@ -29,6 +29,8 @@ import numpy as np
 _C_SOURCE = r"""
 #include <stdint.h>
 #include <stddef.h>
+#include <stdlib.h>
+#include <string.h>
 
 static inline uint32_t rotl32(uint32_t x, int r) {
     return (x << r) | (x >> (32 - r));
@@ -181,6 +183,126 @@ void mm3_sliding_ranges_multiseed(const uint8_t *buf, const int64_t *starts,
     }
 }
 
+/* Containment-scan counting kernel (Q2-Q5, the flagship read path):
+   for each of n_rows filters (row_bytes bytes each, LSB-first bits) and
+   each of nq queries, count query k-grams whose num_hash bit positions
+   are ALL set. Query q's masked bit indices live at
+   idx[qoff[q] .. qoff[q+1]), laid out gram-major (gram g's seeds are
+   adjacent). out is (n_rows, nq) int32, row-major.
+
+   Row-outer loop keeps one filter hot in cache while all queries stream
+   their (shared, ~MB-sized) index arrays through L2 — the vectorized
+   analog of the reference's per-filter OpenMP count loop
+   (kwage.cpp:409-423) without numpy's byte-expanded scratch. */
+void bloom_scan_count(const uint8_t *B, int64_t n_rows, int64_t row_bytes,
+                      const uint32_t *idx, const int64_t *qoff, int64_t nq,
+                      int64_t num_hash, int32_t *out) {
+    /* Block queries so each block's index stream (~192 KB) stays in L2
+       across every row: with many queries the unblocked row-outer loop
+       re-reads the ENTIRE multi-MB index array from DRAM per row, which
+       caps multi-core scaling at the memory controller. */
+    const int64_t IDX_BLOCK = 49152; /* uint32 indices per block */
+    int64_t q0 = 0;
+    while (q0 < nq) {
+        int64_t q1 = q0, acc = 0;
+        while (q1 < nq &&
+               (acc == 0 || acc + (qoff[q1 + 1] - qoff[q1]) <= IDX_BLOCK)) {
+            acc += qoff[q1 + 1] - qoff[q1];
+            q1++;
+        }
+        for (int64_t r = 0; r < n_rows; r++) {
+            const uint8_t *bits = B + r * row_bytes;
+            int32_t *orow = out + r * nq;
+            for (int64_t q = q0; q < q1; q++) {
+                const uint32_t *qi = idx + qoff[q];
+                int64_t nidx = qoff[q + 1] - qoff[q];
+                int32_t cnt = 0;
+                for (int64_t p = 0; p < nidx; p += num_hash) {
+                    int ok = 1;
+                    for (int64_t s = 0; s < num_hash; s++) {
+                        uint32_t b = qi[p + s];
+                        ok &= (bits[b >> 3] >> (b & 7)) & 1;
+                    }
+                    cnt += (int32_t)ok;
+                }
+                orow[q] = cnt;
+            }
+        }
+        q0 = q1;
+    }
+}
+
+/* Bit-matrix transpose via 8x8 blocks (the classic delta-swap network):
+   B (n_rows x row_bytes, LSB-first bits) -> S (row_bytes*8 slices of
+   slice_bytes = ceil(n_rows/8) bytes), so slice i's byte s bit k is
+   row (8s+k)'s bit i. Feeds bloom_scan_count_sliced. */
+void bit_transpose(const uint8_t *B, int64_t n_rows, int64_t row_bytes,
+                   uint8_t *S) {
+    int64_t slice_bytes = (n_rows + 7) >> 3;
+    for (int64_t r0 = 0; r0 < n_rows; r0 += 8) {
+        int nr = n_rows - r0 < 8 ? (int)(n_rows - r0) : 8;
+        int64_t sbyte = r0 >> 3;
+        for (int64_t j = 0; j < row_bytes; j++) {
+            uint64_t x = 0;
+            for (int k = 0; k < nr; k++)
+                x |= (uint64_t)B[(r0 + k) * row_bytes + j] << (8 * k);
+            uint64_t t;
+            t = (x ^ (x >> 7))  & 0x00AA00AA00AA00AAULL; x ^= t ^ (t << 7);
+            t = (x ^ (x >> 14)) & 0x0000CCCC0000CCCCULL; x ^= t ^ (t << 14);
+            t = (x ^ (x >> 28)) & 0x00000000F0F0F0F0ULL; x ^= t ^ (t << 28);
+            for (int b = 0; b < 8; b++)
+                S[(j * 8 + b) * slice_bytes + sbyte] = (uint8_t)(x >> (8 * b));
+        }
+    }
+}
+
+/* Bit-sliced containment scan — KWAGE's own layout trick
+   (build_db.cpp:224-231) applied per batch: S is the TRANSPOSED filter
+   matrix, (m_bits x slice_bytes) with slice_bytes = ceil(n_rows/8), so
+   one bit position's values across every filter are contiguous. A query
+   gram then reads num_hash slices (few hundred bytes) instead of the
+   row-major form's whole-index-array stream per row: total traffic is
+   O(nq * n_grams * n_rows/8) vs O(n_rows * n_idx * 4), a ~30x cut in
+   the many-query regime, and every access is sequential (vectorizable).
+   out is (n_rows x nq) int32, same contract as bloom_scan_count. */
+void bloom_scan_count_sliced(const uint8_t *S, int64_t slice_bytes,
+                             int64_t n_rows, const uint32_t *idx,
+                             const int64_t *qoff, int64_t nq,
+                             int64_t num_hash, int32_t *out) {
+    uint8_t *tmp = (uint8_t *)malloc((size_t)slice_bytes);
+    uint16_t *counts = (uint16_t *)malloc((size_t)n_rows * 2);
+    if (!tmp || !counts) { free(tmp); free(counts); return; }
+    for (int64_t q = 0; q < nq; q++) {
+        const uint32_t *qi = idx + qoff[q];
+        int64_t nidx = qoff[q + 1] - qoff[q];
+        memset(counts, 0, (size_t)n_rows * 2);
+        for (int64_t p = 0; p < nidx; p += num_hash) {
+            const uint8_t *s0 = S + (int64_t)qi[p] * slice_bytes;
+            memcpy(tmp, s0, (size_t)slice_bytes);
+            for (int64_t s = 1; s < num_hash; s++) {
+                const uint8_t *ss = S + (int64_t)qi[p + s] * slice_bytes;
+                for (int64_t b = 0; b < slice_bytes; b++)
+                    tmp[b] &= ss[b];
+            }
+            int64_t full = n_rows >> 3;
+            for (int64_t b = 0; b < full; b++) {
+                uint8_t v = tmp[b];
+                uint16_t *c = counts + b * 8;
+                c[0] += v & 1;        c[1] += (v >> 1) & 1;
+                c[2] += (v >> 2) & 1; c[3] += (v >> 3) & 1;
+                c[4] += (v >> 4) & 1; c[5] += (v >> 5) & 1;
+                c[6] += (v >> 6) & 1; c[7] += (v >> 7) & 1;
+            }
+            for (int64_t r = full * 8; r < n_rows; r++)
+                counts[r] += (tmp[r >> 3] >> (r & 7)) & 1;
+        }
+        for (int64_t r = 0; r < n_rows; r++)
+            out[r * nq + q] = (int32_t)counts[r];
+    }
+    free(tmp);
+    free(counts);
+}
+
 /* ---- sketch update scatter loops (consume a (n, stride) uint32 hash
    matrix, one row per item, lane s = seed s) ---- */
 
@@ -305,7 +427,8 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
             _lib = ctypes.CDLL(_so_path)
             for fn in ("mm3_sliding_multiseed", "mm3_rows_multiseed",
                        "mm3_batch_multiseed", "mm3_sliding_batch_multiseed",
-                       "mm3_sliding_ranges_multiseed",
+                       "mm3_sliding_ranges_multiseed", "bloom_scan_count",
+                       "bloom_scan_count_sliced", "bit_transpose",
                        "bloom_scatter", "hll_update", "cms_update"):
                 getattr(_lib, fn).restype = None
             _lib.mm3_sliding_ranges_multiseed.argtypes = [
@@ -313,6 +436,14 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p]
             _i64 = ctypes.c_int64
+            _lib.bloom_scan_count.argtypes = [
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p,
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p]
+            _lib.bloom_scan_count_sliced.argtypes = [
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p,
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p]
+            _lib.bit_transpose.argtypes = [
+                ctypes.c_void_p, _i64, _i64, ctypes.c_void_p]
             _lib.bloom_scatter.argtypes = [
                 ctypes.c_void_p, _i64, ctypes.c_void_p, _i64, _i64, _i64]
             _lib.hll_update.argtypes = [
@@ -407,6 +538,65 @@ def cms_update(table: np.ndarray, log2_w: int, hashes: np.ndarray) -> None:
     h, stride = _lane_matrix(hashes)
     _lib.cms_update(table.ctypes.data, table.shape[0], log2_w,
                     h.ctypes.data, h.shape[0], stride)
+
+
+def bloom_scan_count(B: np.ndarray, idx: np.ndarray, qoff: np.ndarray,
+                     num_hash: int) -> np.ndarray:
+    """Per-(filter row, query) match counts — native scan kernel.
+
+    B: (n_rows, row_bytes) uint8 contiguous; idx: flat masked bit indices
+    (uint32), query q at idx[qoff[q]:qoff[q+1]] gram-major; returns
+    (n_rows, nq) int32.
+    """
+    B = np.ascontiguousarray(B, dtype=np.uint8)
+    idx = np.ascontiguousarray(idx, dtype=np.uint32)
+    qoff = np.ascontiguousarray(qoff, dtype=np.int64)
+    nq = qoff.shape[0] - 1
+    out = np.empty((B.shape[0], max(nq, 0)), dtype=np.int32)
+    if B.shape[0] and nq:
+        _lib.bloom_scan_count(
+            B.ctypes.data, B.shape[0], B.shape[1],
+            idx.ctypes.data, qoff.ctypes.data, nq, num_hash,
+            out.ctypes.data)
+    return out
+
+
+def transpose_bits(B: np.ndarray) -> np.ndarray:
+    """(n_rows, row_bytes) uint8 LSB-first -> bit-sliced (m_bits,
+    ceil(n_rows/8)) uint8 LSB-first: slice b holds bit b of every row.
+    Native 8x8-block transpose; chunked numpy fallback."""
+    B = np.ascontiguousarray(B, dtype=np.uint8)
+    n, row_bytes = B.shape
+    slice_bytes = (n + 7) >> 3
+    if HAVE_NATIVE:
+        S = np.zeros((row_bytes * 8, slice_bytes), dtype=np.uint8)
+        if n:
+            _lib.bit_transpose(B.ctypes.data, n, row_bytes, S.ctypes.data)
+        return S
+    chunk = 2048  # multiple of 8: keeps chunk packing byte-aligned
+    parts = []
+    for r0 in range(0, n, chunk):
+        bits = np.unpackbits(B[r0:r0 + chunk], axis=1, bitorder="little")
+        parts.append(np.packbits(np.ascontiguousarray(bits.T), axis=1,
+                                 bitorder="little"))
+    return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=1)
+
+
+def bloom_scan_count_sliced(S: np.ndarray, n_rows: int, idx: np.ndarray,
+                            qoff: np.ndarray, num_hash: int) -> np.ndarray:
+    """Bit-sliced per-(row, query) counts; S from transpose_bits.
+    Caps: per-query unique grams < 2^16 (uint16 row counters)."""
+    S = np.ascontiguousarray(S, dtype=np.uint8)
+    idx = np.ascontiguousarray(idx, dtype=np.uint32)
+    qoff = np.ascontiguousarray(qoff, dtype=np.int64)
+    nq = qoff.shape[0] - 1
+    out = np.empty((n_rows, max(nq, 0)), dtype=np.int32)
+    if n_rows and nq:
+        _lib.bloom_scan_count_sliced(
+            S.ctypes.data, S.shape[1], n_rows,
+            idx.ctypes.data, qoff.ctypes.data, nq, num_hash,
+            out.ctypes.data)
+    return out
 
 
 def sliding_ranges_multiseed(buf: np.ndarray, starts: np.ndarray,

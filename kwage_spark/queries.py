@@ -563,6 +563,46 @@ def embedding_norms(spark, sf_dir):
         .alias("l2_norm"))
 
 
+@register("cosine_neardup_exact", """
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150),
+n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (a.nrm * b.nrm), 5) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (a.nrm * b.nrm) >= 0.2
+""")
+def cosine_neardup_exact(spark, sf_dir):
+    """Embedding near-dup EXACT oracle (dedup family): all pairs above a
+    cosine threshold within a scoped id range — the SQL-checked twin of
+    embedding_near_duplicates, whose hyperplane-LSH bucketing is the scale
+    path (pytest-verified against this exact form)."""
+    e = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+         .select("vec_id", "embedding"))
+    nrm = F.expr("sqrt(aggregate(embedding, cast(0.0 as double),"
+                 " (acc, x) -> acc + cast(x as double) * cast(x as double)))")
+    n = e.withColumn("nrm", nrm)
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.expr("aggregate(zip_with(a.embedding, b.embedding, (x, y) ->"
+                 " cast(x as double) * cast(y as double)),"
+                 " cast(0.0 as double), (acc, v) -> acc + v)")
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+            .withColumn("cos", cos)
+            .filter(F.col("cos") >= 0.2)
+            .select(F.col("a.vec_id").alias("id_a"),
+                    F.col("b.vec_id").alias("id_b"),
+                    F.round("cos", 5).alias("cosine")))
+
+
 @register("cosine_topk_bruteforce", """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (

@@ -9,8 +9,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .operators.dedup import (minhash_lsh_pairs, minhash_signatures,
-                              simhash_near_duplicates)
+from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
+                              minhash_signatures, simhash_near_duplicates)
 from .operators.similarity import ann_topk_lsh
 from .operators.text import (_STOPWORDS, language_id, quality_scores,
                              token_count_bpe, winnowing_fingerprints)
@@ -104,6 +104,17 @@ def q_minhash_signatures(spark, sf_dir):
     return sigs.select("doc_id", F.posexplode("sig").alias("perm_idx", "sig_value"))
 
 
+@register("embedding_neardup_lsh")  # rows-only (bucketing is approximate)
+def q_embedding_neardup(spark, sf_dir):
+    """Hyperplane-LSH embedding near-dup — the scale path whose exact
+    relational twin is the SQL-checked cosine_neardup_exact in queries.py
+    (recall vs that oracle asserted in tests/test_pipeline_ops.py)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (embedding_near_duplicates(e, "vec_id", "embedding",
+                                      threshold=0.2, n_planes=6)
+            .orderBy("id_a", "id_b"))
+
+
 @register("simhash_near_dups")  # rows-only
 def q_simhash(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -117,6 +128,24 @@ def q_ann_lsh(spark, sf_dir):
     first = e.orderBy("vec_id").first()
     qv = first["embedding"]
     return ann_topk_lsh(e.filter(F.col("vec_id") != first["vec_id"]), qv, k=10)
+
+
+@register("multimodal_featurize_fake")  # rows-only (deterministic stub)
+def q_multimodal(spark, sf_dir):
+    """Multimodal plumbing on the driver scorecard: documents' text bytes
+    stand in for media payloads; the fake decoder exercises the real
+    Spark contract (binary in → fixed-width float features out,
+    Arrow-batched). Features posexplode to scalar rows."""
+    from .operators.multimodal import decode_and_featurize
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter((F.col("doc_id") < 64) & (F.length("text") >= 64)))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("image").alias("modality"),
+                     F.encode("text", "utf-8").alias("payload"))
+    feats = decode_and_featurize(media, fake=True)
+    return feats.select(
+        "media_id", "width", "height",
+        F.posexplode("features").alias("feat_idx", "feat_value"))
 
 
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)

@@ -82,6 +82,52 @@ def read_sketch_store(spark: SparkSession, path: str,
     return _read_store(spark, path, format).drop(BUCKET_COL)
 
 
+def discover_sketch_stores(spark: SparkSession, root: str,
+                           max_depth: int = 8) -> list[str]:
+    """Recursive store discovery (S9, ≙ KWAGE's directory walk for .db
+    files, `options.cpp:74-137`): return every directory under ``root``
+    that looks like a sketch store (contains ``{BUCKET_COL}=*`` partition
+    dirs). Uses the Hadoop FileSystem API, so it works on hdfs:///
+    s3a:// paths as well as local ones."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    start = Path(root)
+    fs = start.getFileSystem(conf)
+    found: list[str] = []
+
+    def walk(p, depth: int) -> None:
+        if depth > max_depth or not fs.isDirectory(p):
+            return
+        children = fs.listStatus(p)
+        names = [c.getPath().getName() for c in children]
+        if any(n.startswith(f"{BUCKET_COL}=") for n in names):
+            found.append(p.toString())
+            return  # a store's partition dirs aren't themselves stores
+        for c in children:
+            if c.isDirectory():
+                walk(c.getPath(), depth + 1)
+
+    if fs.exists(start):
+        walk(start, 0)
+    return sorted(found)
+
+
+def read_all_sketch_stores(spark: SparkSession, root: str,
+                           format: str = "parquet") -> DataFrame:
+    """Union every discovered store under ``root`` (the read side of the
+    reference's recursive .db ingestion; merge duplicate groups afterwards
+    with merge_sketch_tables if stores overlap)."""
+    paths = discover_sketch_stores(spark, root)
+    if not paths:
+        raise FileNotFoundError(f"no sketch stores under {root}")
+    dfs = [read_sketch_store(spark, p, format=format) for p in paths]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_sketch_group(spark: SparkSession, path: str, group_col: str,
                       value: str, buckets: int = 64,
                       format: str = "parquet") -> DataFrame:

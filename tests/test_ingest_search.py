@@ -215,3 +215,23 @@ def test_ingest_handles_null_and_empty_edges(spark):
         assert out[("", "py")] == (1, 12)
         assert out[("r2", "")] == (1, 15)
         assert out[("r2", "go")] == (1, 0)
+
+
+def test_containment_counts_matches_search(spark, sketches, corpus):
+    """The count-aggregate form must agree with the per-group emit form:
+    n_matches == number of match rows per query."""
+    from collections import Counter
+    from kwage_spark.operators.search import containment_counts
+    snippets = [(0, corpus.iloc[0]["content"][:60]),
+                (1, corpus.iloc[5]["content"][:40]),
+                (2, "zzzz-not-in-corpus-" * 4),
+                (3, "abc")]  # F10: too short, no row
+    full = containment_search(sketches, snippets, CFG, threshold=0.5).collect()
+    want = Counter(r["query_id"] for r in full)
+    got = {r["query_id"]: r["n_matches"]
+           for r in containment_counts(sketches, snippets, CFG,
+                                       threshold=0.5).collect()}
+    assert got.pop(3, None) is None  # empty query emits nothing
+    for qid, n in got.items():
+        assert n == want.get(qid, 0), qid
+    assert set(want) <= set(got)

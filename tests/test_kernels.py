@@ -431,3 +431,60 @@ def test_tdigest_through_spark_ingest(spark):
         assert st.n_items == len(g)
         med = st.quantile(0.5)
         assert sizes.min() <= med <= sizes.max()
+
+
+def test_native_scan_count_parity_with_numpy():
+    """bloom_scan_count (the flagship read kernel) must agree bit-for-bit
+    with the numpy gather+AND+popcount fallback."""
+    from kwage_spark.kernels import _native
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler")
+    import numpy as np
+    rng = np.random.default_rng(9)
+    n_rows, row_bytes, num_hash = 37, 1 << 10, 3
+    m = row_bytes * 8
+    B = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8)
+    sizes = [5, 1, 17, 0, 41]  # incl. an empty query
+    idx_list = [rng.integers(0, m, size=(s, num_hash), dtype=np.uint32)
+                for s in sizes]
+    flat = (np.concatenate([a.ravel() for a in idx_list])
+            .astype(np.uint32))
+    qoff = np.concatenate(([0], np.cumsum([a.size for a in idx_list])))
+    got = _native.bloom_scan_count(B, flat, qoff, num_hash)
+    for j, idx in enumerate(idx_list):
+        if idx.size == 0:
+            assert (got[:, j] == 0).all()
+            continue
+        fl = idx.ravel()
+        g = (B[:, (fl >> 3).astype(np.int64)]
+             >> (fl & 7).astype(np.uint8)) & np.uint8(1)
+        want = g.reshape(n_rows, -1, num_hash).all(axis=2).sum(axis=1)
+        assert (got[:, j] == want).all(), j
+
+
+def test_sliced_scan_parity_with_rowmajor():
+    """Bit-sliced scan (transpose_bits + bloom_scan_count_sliced) must
+    equal the row-major kernel and the numpy formula."""
+    from kwage_spark.kernels import _native
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler")
+    import numpy as np
+    rng = np.random.default_rng(17)
+    n_rows, row_bytes, num_hash = 101, 256, 3  # odd row count on purpose
+    B = rng.integers(0, 256, size=(n_rows, row_bytes), dtype=np.uint8)
+    sizes = [7, 0, 23, 1]
+    idx_list = [rng.integers(0, row_bytes * 8, size=(s, num_hash),
+                             dtype=np.uint32) for s in sizes]
+    flat = np.concatenate([a.ravel() for a in idx_list]).astype(np.uint32)
+    qoff = np.concatenate(([0], np.cumsum([a.size for a in idx_list])))
+    want = _native.bloom_scan_count(B, flat, qoff, num_hash)
+    S = _native.transpose_bits(B)
+    got = _native.bloom_scan_count_sliced(S, n_rows, flat, qoff, num_hash)
+    assert (got == want).all()
+    # transpose itself vs the numpy reference
+    ref = np.packbits(np.ascontiguousarray(
+        np.unpackbits(B, axis=1, bitorder="little").T), axis=1,
+        bitorder="little")
+    assert (S == ref).all()

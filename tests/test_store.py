@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from kwage_spark.config import SketchConfig
 from kwage_spark.kernels.bloom import BloomParams
@@ -61,3 +62,35 @@ def test_lookup_results_search_equivalent(spark, store):
     want = full[full.repo == repo].reset_index(drop=True)
     assert pruned[["repo", "lang", "num_kmers_found"]].equals(
         want[["repo", "lang", "num_kmers_found"]])
+
+
+def test_discover_and_union_stores(spark, tmp_path):
+    """S9 recursive discovery: nested store roots found by layout, read
+    back as one table."""
+    from kwage_spark.sources.store import (discover_sketch_stores,
+                                           read_all_sketch_stores,
+                                           write_sketch_store)
+    from kwage_spark.operators.ingest import build_sketches
+    from kwage_spark.sources.fixtures import make_source_files
+    pdf = make_source_files(n_repos=4, files_per_repo=4, seed=21)
+    df = spark.createDataFrame(pdf)
+    sk = build_sketches(df, CFG).cache()
+    half_a = sk.filter(F.col("repo") < "org2")
+    half_b = sk.filter(F.col("repo") >= "org2")
+    root = tmp_path / "stores"
+    write_sketch_store(half_a, str(root / "a" / "part1"), "repo", buckets=4)
+    write_sketch_store(half_b, str(root / "deep" / "nested" / "part2"),
+                       "repo", buckets=4)
+    found = discover_sketch_stores(spark, str(root))
+    assert len(found) == 2
+    assert all("part" in p for p in found)
+    back = read_all_sketch_stores(spark, str(root))
+    assert back.count() == sk.count()
+
+
+def test_icontains_function(spark):
+    from kwage_spark import functions as fx
+    df = spark.createDataFrame([("Hello World",), ("goodbye",), (None,)],
+                               "s string")
+    got = df.select(fx.icontains("s", "WORLD").alias("m")).collect()
+    assert [r["m"] for r in got] == [True, False, None]
