@@ -92,10 +92,12 @@ def sketch_n_items(state: Column | str) -> Column:
     """Items inserted into any sketch state (exact counter) — long."""
     @F.pandas_udf("long")
     def _n(s: pd.Series) -> pd.Series:
-        return pd.Series([int(getattr(state_from_bytes(bytes(b)), "n_items",
-                                      getattr(state_from_bytes(bytes(b)),
-                                              "n_total", 0)))
-                          for b in s], dtype="int64")
+        out = []
+        for b in s:
+            st = state_from_bytes(bytes(b))  # decode (and CRC) once per row
+            n = getattr(st, "n_items", None)
+            out.append(int(n if n is not None else getattr(st, "n_total", 0)))
+        return pd.Series(out, dtype="int64")
     return _n(state)
 
 

@@ -264,14 +264,16 @@ void bit_transpose(const uint8_t *B, int64_t n_rows, int64_t row_bytes,
    row-major form's whole-index-array stream per row: total traffic is
    O(nq * n_grams * n_rows/8) vs O(n_rows * n_idx * 4), a ~30x cut in
    the many-query regime, and every access is sequential (vectorizable).
-   out is (n_rows x nq) int32, same contract as bloom_scan_count. */
-void bloom_scan_count_sliced(const uint8_t *S, int64_t slice_bytes,
-                             int64_t n_rows, const uint32_t *idx,
-                             const int64_t *qoff, int64_t nq,
-                             int64_t num_hash, int32_t *out) {
+   out is (n_rows x nq) int32, same contract as bloom_scan_count.
+   Returns 0 on success, -1 if scratch allocation failed (out untouched —
+   the Python wrapper raises instead of reading uninitialized counts). */
+int bloom_scan_count_sliced(const uint8_t *S, int64_t slice_bytes,
+                            int64_t n_rows, const uint32_t *idx,
+                            const int64_t *qoff, int64_t nq,
+                            int64_t num_hash, int32_t *out) {
     uint8_t *tmp = (uint8_t *)malloc((size_t)slice_bytes);
     uint16_t *counts = (uint16_t *)malloc((size_t)n_rows * 2);
-    if (!tmp || !counts) { free(tmp); free(counts); return; }
+    if (!tmp || !counts) { free(tmp); free(counts); return -1; }
     for (int64_t q = 0; q < nq; q++) {
         const uint32_t *qi = idx + qoff[q];
         int64_t nidx = qoff[q + 1] - qoff[q];
@@ -301,6 +303,7 @@ void bloom_scan_count_sliced(const uint8_t *S, int64_t slice_bytes,
     }
     free(tmp);
     free(counts);
+    return 0;
 }
 
 /* ---- sketch update scatter loops (consume a (n, stride) uint32 hash
@@ -431,6 +434,7 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
                        "bloom_scan_count_sliced", "bit_transpose",
                        "bloom_scatter", "hll_update", "cms_update"):
                 getattr(_lib, fn).restype = None
+            _lib.bloom_scan_count_sliced.restype = ctypes.c_int
             _lib.mm3_sliding_ranges_multiseed.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
@@ -592,10 +596,14 @@ def bloom_scan_count_sliced(S: np.ndarray, n_rows: int, idx: np.ndarray,
     nq = qoff.shape[0] - 1
     out = np.empty((n_rows, max(nq, 0)), dtype=np.int32)
     if n_rows and nq:
-        _lib.bloom_scan_count_sliced(
+        rc = _lib.bloom_scan_count_sliced(
             S.ctypes.data, S.shape[1], n_rows,
             idx.ctypes.data, qoff.ctypes.data, nq, num_hash,
             out.ctypes.data)
+        if rc != 0:
+            raise MemoryError("bloom_scan_count_sliced: scratch allocation "
+                              f"failed (slice_bytes={S.shape[1]}, "
+                              f"n_rows={n_rows})")
     return out
 
 

@@ -57,11 +57,18 @@ def _count_matrix_chunks(B: np.ndarray, flat_q: np.ndarray,
         cache-friendly at high parallelism.
       * few queries: row-major kernel (transpose not amortized).
 
+    The sliced kernel accumulates per-row counts in uint16, so it is only
+    selected when every query has < 2^16 unique k-grams; a jumbo query
+    (>= 64 KB of unique grams) routes the whole batch to the int32
+    row-major kernel instead of silently wrapping counts mod 65536.
+
     Caller must have checked _native.HAVE_NATIVE.
     """
     from ..kernels import _native
     n = B.shape[0]
-    if nq >= 64:
+    max_grams = (int((np.diff(qoff_q) // max(num_hash, 1)).max())
+                 if qoff_q.shape[0] > 1 else 0)
+    if nq >= 64 and max_grams < (1 << 16):
         row_chunk = max(64, (64 << 20) // max(4 * nq, 1))
         for r0 in range(0, n, row_chunk):
             sub = B[r0:r0 + row_chunk]

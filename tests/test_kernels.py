@@ -488,3 +488,34 @@ def test_sliced_scan_parity_with_rowmajor():
         np.unpackbits(B, axis=1, bitorder="little").T), axis=1,
         bitorder="little")
     assert (S == ref).all()
+
+
+def test_jumbo_query_routes_to_int32_kernel():
+    """A query with >= 2^16 unique grams must NOT take the bit-sliced path
+    (uint16 per-row counters would wrap mod 65536); _count_matrix_chunks
+    routes the batch to the int32 row-major kernel instead."""
+    from kwage_spark.kernels import _native
+    if not _native.HAVE_NATIVE:
+        import pytest
+        pytest.skip("no C compiler")
+    import numpy as np
+    from kwage_spark.operators.search import _count_matrix_chunks
+    num_hash = 1
+    n_grams_jumbo = (1 << 16) + 500
+    rng = np.random.default_rng(23)
+    B = np.full((8, 32), 0xFF, dtype=np.uint8)  # all bits set: count = n_grams
+    # 64 queries total (>= 64 triggers the sliced path when eligible);
+    # query 0 is the jumbo one
+    idx_list = [rng.integers(0, 256, size=(n_grams_jumbo, num_hash),
+                             dtype=np.uint32)]
+    idx_list += [rng.integers(0, 256, size=(1, num_hash), dtype=np.uint32)
+                 for _ in range(63)]
+    flat = np.concatenate([a.ravel() for a in idx_list]).astype(np.uint32)
+    qoff = np.concatenate(([0], np.cumsum([a.size for a in idx_list])
+                           )).astype(np.int64)
+    chunks = list(_count_matrix_chunks(B, flat, qoff, num_hash, nq=64))
+    full = np.concatenate([m for _r0, m in chunks], axis=0)
+    assert full.shape == (8, 64)
+    # uint16 wrap would report n_grams_jumbo - 65536 = 500
+    assert (full[:, 0] == n_grams_jumbo).all(), full[:, 0]
+    assert (full[:, 1:] == 1).all()
