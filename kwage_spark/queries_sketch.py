@@ -11,6 +11,8 @@ The `documents` table plays the role of the source_files input
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,6 +23,7 @@ from .operators.ingest import build_sketches, sketch_metrics
 from .operators.merge import merge_states_global
 from .operators.search import containment_search
 from .queries import FLAGSHIP_SNIPPET, KGRAM_K, register
+from .sources.store import read_sketch_group, write_sketch_store
 
 DOC_CFG = SketchConfig(group_cols=("source", "lang"), content_col="text",
                        bloom=BloomParams(k=KGRAM_K, log2_m=16, num_hash=3),
@@ -39,6 +42,60 @@ def doc_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bloom_containment_search(spark, sf_dir):
     sk = doc_sketches(spark, sf_dir)
     return containment_search(sk, [(0, FLAGSHIP_SNIPPET)], DOC_CFG, threshold=0.5)
+
+
+# ----------------------------------------------------- persisted-store reads
+# The reference's flagship is a read of a PERSISTED DB (`kwage.cpp:98-113`,
+# per-file metadata offsets `kwage.h:34-44`); these two queries make that
+# the scorecard path too: sketches round-trip through write_sketch_store's
+# hash-bucketed layout and come back via read_sketch_group, whose bucket
+# predicate prunes partitions at the scan (plan-asserted in
+# tests/test_plans.py::test_store_group_read_prunes_partitions).
+STORE_GROUP = "src1"          # present at every sf in the driver testdata
+STORE_BUCKETS = 16
+
+
+def _store_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/kwage_spark_scratch/{sf}/doc_sketch_store"
+
+
+def _pruned_store_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _store_path(sf_dir)
+    write_sketch_store(doc_sketches(spark, sf_dir), path,
+                       group_col="source", buckets=STORE_BUCKETS)
+    return read_sketch_group(spark, path, "source", STORE_GROUP,
+                             buckets=STORE_BUCKETS)
+
+
+@register("store_group_lookup", f"""
+SELECT source, lang, kind,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(greatest(length(text) - {KGRAM_K - 1}, 0)) AS BIGINT)
+         AS n_kgrams
+FROM documents
+CROSS JOIN (SELECT unnest(['bloom', 'hll', 'cms', 'kll']) AS kind)
+WHERE source = 'src1'
+GROUP BY source, lang, kind
+""")
+def store_group_lookup(spark, sf_dir):
+    """S8/S9 as the scorecard sees them: persist the sketch table with
+    write_sketch_store, point-look-up one group with read_sketch_group
+    (partition-pruned), and return its EXACT per-row counters — which a
+    DuckDB twin recomputes from the raw documents table."""
+    grp = _pruned_store_group(spark, sf_dir)
+    return (grp.select("source", "lang", "kind", "n_rows", "n_kgrams")
+            .orderBy("lang", "kind"))
+
+
+@register("store_pruned_bloom_search")  # rows-only (murmur-based)
+def store_pruned_bloom_search(spark, sf_dir):
+    """The reference's actual flagship shape: containment search over a
+    PERSISTED, bucket-pruned sketch store read — not freshly built
+    in-memory sketches. Exact twin: exact_containment_flagship."""
+    grp = _pruned_store_group(spark, sf_dir)
+    return containment_search(grp, [(0, FLAGSHIP_SNIPPET)], DOC_CFG,
+                              threshold=0.3)
 
 
 @register("sketch_build_metrics", f"""

@@ -97,3 +97,40 @@ def test_chunk_binpack_has_no_single_partition_exchange(spark):
     plan = physical_plan(df)
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_store_group_read_prunes_partitions(spark, tmp_path):
+    """read_sketch_group's bucket predicate must reach the scan as a
+    PARTITION filter (directory pruning, ≙ KWAGE's per-file metadata
+    offsets kwage.h:34-44) — not just a row filter after a full read."""
+    from kwage_spark.plans.inspect import partition_filters
+    from kwage_spark.sources.store import read_sketch_group, write_sketch_store
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sk = build_sketches(docs, DOC_CFG)
+    path = str(tmp_path / "store")
+    write_sketch_store(sk, path, group_col="source", buckets=16)
+    grp = read_sketch_group(spark, path, "source", "src1", buckets=16)
+    pf = partition_filters(grp)
+    assert "_bucket" in pf, f"no partition pruning on _bucket:\n{pf}"
+    # and the lookup actually returns the group's rows
+    rows = grp.select("source").distinct().collect()
+    assert [r["source"] for r in rows] == ["src1"]
+
+
+def test_ann_indexed_probe_prunes_partitions(spark, tmp_path):
+    """ann_topk_indexed's bucket .isin(probes) must be a PartitionFilter on
+    the build_ann_index layout — the scan reads n_planes+1 of 2^n_planes
+    directories, the IVF-probe contract."""
+    from kwage_spark.operators.similarity import (ann_topk_indexed,
+                                                  build_ann_index)
+    from kwage_spark.plans.inspect import partition_filters
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    path = str(tmp_path / "ann")
+    build_ann_index(emb, path, n_planes=6)
+    res = ann_topk_indexed(spark, path, first["embedding"], k=5, n_planes=6)
+    pf = partition_filters(res)
+    assert "bucket" in pf and ("IN" in pf or "In" in pf), \
+        f"no partition pruning on bucket:\n{pf}"
+    top = res.collect()
+    assert top and top[0]["vec_id"] == first["vec_id"]  # self is its own NN
