@@ -25,10 +25,12 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel, TaskContext
+from pyspark import TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .caching import persist_tracked
 
 
 def global_row_number(df: DataFrame, key_col: str,
@@ -38,16 +40,15 @@ def global_row_number(df: DataFrame, key_col: str,
     a range shuffle + broadcast prefix offsets (never one partition).
 
     The returned DataFrame is backed by a persisted range layout (the
-    count pass and the rank pass must see identical partitioning);
-    callers that materialize a derivative may drop it via
-    ``spark.catalog.clearCache()`` or the returned plan's lineage.
+    count pass and the rank pass must see identical partitioning); the
+    cache is registered with ``operators.caching`` — call
+    ``release_caches()`` once the result is materialized.
     """
     spark = df.sparkSession
     n_part = int(partitions
                  or spark.conf.get("spark.sql.shuffle.partitions"))
-    ranged = (df.repartitionByRange(n_part, F.col(key_col))
-              .sortWithinPartitions(key_col)
-              .persist(StorageLevel.MEMORY_AND_DISK))
+    ranged = persist_tracked(df.repartitionByRange(n_part, F.col(key_col))
+                             .sortWithinPartitions(key_col))
     counts = dict(
         ranged.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid").count().collect())

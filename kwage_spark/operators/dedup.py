@@ -17,20 +17,65 @@ candidate pairs.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..kernels.murmur3 import murmur3_32_multiseed
 from ..kernels.shingle import windows_of
+from .caching import persist_tracked
+
+logger = logging.getLogger(__name__)
 
 MINHASH_SEED_BASE = 0x1000  # disjoint from bloom (0..4) and cms (0x100..)
 SIMHASH_SEED = 0x2000
 HYPERPLANE_SEED = 0x3000
+
+#: default per-bucket membership cap for the LSH self-joins — bounds any
+#: within-bucket candidate blow-up at cap*(cap-1)/2 pairs per bucket
+DEFAULT_MAX_BUCKET = 1024
+
+
+def _cap_hot_buckets(keyed: DataFrame, bucket_cols: list[str], id_col: str,
+                     cap: int | None, op_name: str) -> DataFrame:
+    """Bound degenerate LSH buckets before a within-bucket self-join.
+
+    One hot bucket — boilerplate docs sharing a zero chunk, near-constant
+    embeddings collapsing to one sign pattern — reintroduces exactly the
+    O(b²) pair blow-up the bucketing exists to prevent. Rows ranked past
+    ``cap`` (deterministic rank by ``id_col``, so runs are reproducible)
+    are dropped from the bucket and the drop is LOGGED per bucket — no
+    silent truncation (≙ the reference's per-pair result cap,
+    `SriRachA/search_by_kmer.cpp:86-90`). Pairs among a hot bucket's
+    first ``cap`` members are still found; callers needing full recall on
+    a pathological corpus pass ``max_bucket=None``.
+
+    The rank window partitions BY BUCKET — thousands of parallel
+    partitions, never a single-partition window; a hot bucket costs one
+    task O(bucket·log bucket), not O(bucket²).
+    """
+    if cap is None:
+        return keyed
+    w = W.partitionBy(*bucket_cols).orderBy(id_col)
+    ranked = keyed.withColumn("_brank", F.row_number().over(w))
+    dropped = (ranked.filter(F.col("_brank") > cap)
+               .groupBy(*bucket_cols)
+               .agg(F.count(F.lit(1)).alias("n_dropped"))
+               .collect())  # tiny by construction: only degenerate buckets
+    if dropped:
+        total = sum(r["n_dropped"] for r in dropped)
+        worst = max(dropped, key=lambda r: r["n_dropped"])
+        logger.warning(
+            "%s: capped %d hot LSH bucket(s) at %d members — dropped %d "
+            "rows total (worst bucket %s dropped %d); pass max_bucket=None "
+            "to disable", op_name, len(dropped), cap, total,
+            tuple(worst[c] for c in bucket_cols), worst["n_dropped"])
+    return ranked.filter(F.col("_brank") <= cap).drop("_brank")
 
 
 # ------------------------------------------------------------------ minhash
@@ -75,22 +120,28 @@ def band_keys(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 5, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.7) -> DataFrame:
+                      threshold: float = 0.7,
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate pairs via banding, verified by signature-Jaccard >= threshold.
 
     rows_per_band = num_perm // bands; the usual S-curve gives candidate
     recall ~1 at J >= (1/bands)^(1/rows_per_band).
     Output: (id_a, id_b, sig_jaccard) with id_a < id_b.
+
+    The internal signature cache is registered with
+    ``operators.caching``; call ``release_caches()`` after materializing.
     """
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     r = num_perm // bands
-    # persisted: the plan reads sigs three times (banding + both rejoin
-    # sides); without a cache the murmur pass over the corpus re-runs x3
-    sigs = (minhash_signatures(df, id_col, text_col, k, num_perm)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # persisted (tracked): the plan reads sigs three times (banding + both
+    # rejoin sides); without a cache the murmur corpus pass re-runs x3
+    sigs = persist_tracked(minhash_signatures(df, id_col, text_col, k,
+                                              num_perm))
 
-    banded = band_keys(sigs, id_col, bands, r)
+    banded = _cap_hot_buckets(band_keys(sigs, id_col, bands, r),
+                              ["band", "bkey"], id_col, max_bucket,
+                              "minhash_lsh_pairs")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -148,11 +199,15 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET
+                            ) -> DataFrame:
     """Pairs within Hamming distance d via the chunk trick: split 64 bits
     into d+1 chunks — any pair with distance <= d matches exactly on at
     least one chunk (pigeonhole). Bucket-join on (chunk_idx, chunk_value),
-    verify with bit_count(xor)."""
+    verify with bit_count(xor). Hot (chunk, value) buckets are capped at
+    ``max_bucket`` members (logged; see _cap_hot_buckets); the chunk-row
+    cache is registered with ``operators.caching``."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
     sigs = simhash_signatures(df, id_col, text_col)
@@ -162,6 +217,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
         f" & {(1 << width) - 1} AS cv))")).alias("ch")
     keyed = sigs.select(id_col, "simhash", chunks).select(
         id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
+    if max_bucket is not None:
+        # persisted (tracked): the cap's bucket-size audit is a second
+        # read of keyed — without a cache the simhash UDF pass re-runs
+        keyed = _cap_hot_buckets(persist_tracked(keyed), ["ci", "cv"],
+                                 id_col, max_bucket,
+                                 "simhash_near_duplicates")
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -180,12 +241,17 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
 def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
-                              n_planes: int = 12) -> DataFrame:
+                              n_planes: int = 12,
+                              max_bucket: int | None = DEFAULT_MAX_BUCKET
+                              ) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH + exact re-rank.
 
     Seeded Gaussian hyperplanes (deterministic); sign pattern -> bucket;
     within-bucket pairs re-ranked by exact cosine (built-in zip_with /
-    aggregate, JVM-side).
+    aggregate, JVM-side). Hot buckets (e.g. near-constant embeddings
+    collapsing to one sign pattern) are capped at ``max_bucket`` members
+    (logged); the bucketed-row cache is registered with
+    ``operators.caching``.
     """
     first = df.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -205,6 +271,12 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                          .astype(np.int64))
 
     keyed = df.select(id_col, vec_col).withColumn("bucket", bucket_of(F.col(vec_col)))
+    if max_bucket is not None:
+        # persisted (tracked): avoids re-running the bucket UDF pass for
+        # the cap's bucket-size audit
+        keyed = _cap_hot_buckets(persist_tracked(keyed), ["bucket"],
+                                 id_col, max_bucket,
+                                 "embedding_near_duplicates")
     a, b = keyed.alias("a"), keyed.alias("b")
     dot = F.expr(f"aggregate(zip_with(a.{vec_col}, b.{vec_col},"
                  " (x, y) -> cast(x as double) * cast(y as double)),"
