@@ -140,22 +140,53 @@ def q_ann_lsh(spark, sf_dir):
     return ann_topk_indexed(spark, path, qv, k=10)
 
 
-@register("multimodal_featurize_fake")  # rows-only (deterministic stub)
+_ASCII_RE = r"^[\x00-\x7F]*$"
+
+
+@register("multimodal_featurize_fake", r"""
+WITH m AS (
+  SELECT doc_id AS media_id, text
+  FROM documents
+  WHERE doc_id < 64 AND length(text) >= 64
+    AND regexp_full_match(text, '[\x00-\x7f]*')
+), f AS (
+  SELECT media_id, text, CAST(j AS INTEGER) AS feat_idx
+  FROM m CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+)
+SELECT media_id,
+       CAST(ord(substr(text, 1, 1)) + 1 AS INTEGER) AS width,
+       CAST(ord(substr(text, 2, 1)) + 1 AS INTEGER) AS height,
+       feat_idx,
+       round(CAST(CAST((ord(substr(text, feat_idx * 4 + 1, 1))
+                      + ord(substr(text, feat_idx * 4 + 2, 1))
+                      + ord(substr(text, feat_idx * 4 + 3, 1))
+                      + ord(substr(text, feat_idx * 4 + 4, 1))) / 255.0
+                  AS REAL) AS DOUBLE), 5) AS feat_value
+FROM f
+""")
 def q_multimodal(spark, sf_dir):
     """Multimodal plumbing on the driver scorecard: documents' text bytes
     stand in for media payloads; the fake decoder exercises the real
     Spark contract (binary in → fixed-width float features out,
-    Arrow-batched). Features posexplode to scalar rows."""
+    Arrow-batched). Features posexplode to scalar rows.
+
+    SQL-twinned: the fake featurizer is pure byte arithmetic
+    (operators/multimodal.py: width/height from the first two payload
+    bytes, feature j = sum of bytes 4j..4j+3 over 255). Restricted to
+    ASCII docs so DuckDB's codepoints equal the utf-8 bytes; both sides
+    round the SAME float32 value (numpy astype ≡ CAST AS REAL) at 5dp."""
     from .operators.multimodal import decode_and_featurize
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .filter((F.col("doc_id") < 64) & (F.length("text") >= 64)))
+         .filter((F.col("doc_id") < 64) & (F.length("text") >= 64)
+                 & F.col("text").rlike(_ASCII_RE)))
     media = d.select(F.col("doc_id").alias("media_id"),
                      F.lit("image").alias("modality"),
                      F.encode("text", "utf-8").alias("payload"))
     feats = decode_and_featurize(media, fake=True)
-    return feats.select(
-        "media_id", "width", "height",
-        F.posexplode("features").alias("feat_idx", "feat_value"))
+    return (feats.select("media_id", "width", "height",
+                         F.posexplode("features").alias("feat_idx", "_fv"))
+            .withColumn("feat_value", F.round(F.col("_fv").cast("double"), 5))
+            .drop("_fv"))
 
 
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)
