@@ -27,9 +27,21 @@ from ..config import SketchConfig
 from .ingest import build_sketches
 from .merge import merge_grouped_states
 
+#: above this many rows on the small side, resume/lineage joins skip the
+#: explicit broadcast hint and let AQE/stats pick the strategy — at 10⁸+
+#: group keys a forced broadcast would OOM the driver
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def _hint_small(df: DataFrame, n_rows: int,
+                limit: int = BROADCAST_ROW_LIMIT) -> DataFrame:
+    return F.broadcast(df) if n_rows <= limit else df
+
 
 def write_checkpoint(sketches: DataFrame, path: str,
-                     prior_manifest: DataFrame | None = None) -> None:
+                     prior_manifest: DataFrame | None = None,
+                     planned: DataFrame | None = None,
+                     broadcast_limit: int = BROADCAST_ROW_LIMIT) -> None:
     """Persist sketch rows + manifest. Data first, manifest last — a group
     is 'complete' only once its manifest row exists (two-phase ordering,
     ≙ `binary_io.cpp:188-205`).
@@ -37,8 +49,16 @@ def write_checkpoint(sketches: DataFrame, path: str,
     Attempt lineage (≙ maestro's DOWNLOAD_FAIL_1..10 counters,
     `maestro.h:8-45`): each manifest row carries ``attempt``. Pass the
     previous run's manifest on resume — groups already complete there keep
-    their count; groups (re)built this run get prior attempts + 1, so a
-    group that keeps failing accumulates an auditable attempt history.
+    their count; groups (re)built this run get prior attempts + 1. Pass
+    ``planned`` (the run's work-list of group keys) to also record
+    ``complete=False`` rows for planned groups that produced NO states
+    this run — without it a failed group leaves no manifest row and its
+    attempt count restarts when it finally succeeds.
+
+    The prior-manifest join is broadcast only while the prior manifest
+    stays under ``broadcast_limit`` rows; beyond that AQE/statistics pick
+    the join strategy (a forced broadcast of 10⁸ group keys kills the
+    driver).
     """
     sketches.write.mode("overwrite").parquet(f"{path}/states")
     written = sketches.sparkSession.read.parquet(f"{path}/states")
@@ -57,20 +77,48 @@ def write_checkpoint(sketches: DataFrame, path: str,
     keys = [c for c in written.columns
             if c not in ("state", "n_rows", "n_kgrams", "meta",
                          "state_crc32", "complete")]
+    gkeys = [k for k in keys if k != "kind"]
+    if planned is not None:
+        # planned groups with NO state rows this run -> complete=False
+        # manifest rows (kind/counters null), so their attempt history
+        # accumulates across retries instead of resetting
+        failed = (planned.select(*gkeys).distinct()
+                  .join(written.select(*gkeys).distinct(), gkeys,
+                        "left_anti"))
+        fill = [F.col(f.name) if f.name in gkeys
+                else (F.lit(False).alias("complete")
+                      if f.name == "complete"
+                      else F.lit(None).cast(f.dataType).alias(f.name))
+                for f in manifest.schema.fields]
+        manifest = manifest.unionByName(
+            failed.select(*fill))
     if prior_manifest is None:
         manifest = manifest.withColumn("attempt", F.lit(1).cast("long"))
     else:
         prior = prior_manifest.select(
             *keys, F.col("attempt").alias("_prior_attempt"),
             F.col("complete").alias("_prior_complete"))
-        manifest = (manifest.join(F.broadcast(prior), keys, "left")
+        # failed-group rows have kind=null and would never equi-join on
+        # kind; carry the group's max prior attempt for those instead
+        prior_grp = (prior_manifest.groupBy(*gkeys)
+                     .agg(F.max("attempt").alias("_prior_gattempt")))
+        n_prior = prior_manifest.count()
+        manifest = (manifest
+                    .join(_hint_small(prior, n_prior, broadcast_limit),
+                          keys, "left")
+                    .join(_hint_small(prior_grp, n_prior, broadcast_limit),
+                          gkeys, "left")
                     .withColumn(
                         "attempt",
-                        F.when(F.col("_prior_complete"),
+                        F.when(F.col("complete")
+                               & F.col("_prior_complete"),
                                F.col("_prior_attempt"))
-                        .otherwise(F.coalesce("_prior_attempt", F.lit(0)) + 1)
+                        .otherwise(F.coalesce("_prior_attempt",
+                                              "_prior_gattempt",
+                                              F.lit(0)) + 1)
                         .cast("long"))
-                    .drop("_prior_attempt", "_prior_complete"))
+                    .drop("_prior_attempt", "_prior_complete",
+                          "_prior_gattempt"))
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
@@ -89,13 +137,18 @@ def completed_groups(manifest: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 def resume_ingest(spark: SparkSession, files: DataFrame, cfg: SketchConfig,
-                  checkpoint_path: str) -> DataFrame:
+                  checkpoint_path: str,
+                  broadcast_limit: int = BROADCAST_ROW_LIMIT) -> DataFrame:
     """Recompute only groups missing from the checkpoint; union the rest.
 
     The anti-join is the `restore_status`/`restore_bloom` pattern: the
     checkpointed groups are never re-read (their raw rows are pruned by the
     semi-join before shingling, which at 100 TB skips entire partitions of
     the source table when group keys align with its partitioning).
+
+    The completed-group set is broadcast only below ``broadcast_limit``
+    rows; past that (10⁸+ group keys) the hint is dropped and AQE/stats
+    choose — a shuffled semi-join is slower but never OOMs the driver.
     """
     gcols = list(cfg.group_cols)
     try:
@@ -103,9 +156,11 @@ def resume_ingest(spark: SparkSession, files: DataFrame, cfg: SketchConfig,
     except Exception:  # noqa: BLE001 — no checkpoint yet: cold start
         return build_sketches(files, cfg)
     done = completed_groups(manifest, gcols)
-    todo_rows = files.join(F.broadcast(done), gcols, "left_anti")
+    n_done = done.count()  # one tiny manifest aggregate, reused both joins
+    done_h = _hint_small(done, n_done, broadcast_limit)
+    todo_rows = files.join(done_h, gcols, "left_anti")
     fresh = build_sketches(todo_rows, cfg)
-    kept = states.join(F.broadcast(done), gcols, "left_semi")
+    kept = states.join(done_h, gcols, "left_semi")
     # defensive: if both sides somehow carry a group, states merge (assoc.)
     return merge_grouped_states(kept.unionByName(fresh), gcols)
 

@@ -144,3 +144,61 @@ def test_config_for_corpus_meets_fp_target(spark, corpus):
         # the sizing headroom (4x mean) must hold the bound for typical
         # groups; assert the published bound at each group's actual n
         assert st.params.fp_rate(st.n_items) <= 0.1 * 4 or st.n_items == 0
+
+
+def test_resume_shuffle_join_path(spark, corpus, tmp_path):
+    """broadcast_limit=0 drops the explicit broadcast hints (the 10^8-group
+    regime where a forced broadcast would OOM the driver); resume must
+    still equal the clean run through the shuffle/AQE join path."""
+    files = spark.createDataFrame(corpus)
+    clean = _states(build_sketches(files, CFG))
+    partial = build_sketches(
+        files.filter(F.col("repo").isin("org0/repo0", "org1/repo1")), CFG)
+    path = str(tmp_path / "shuffle_ckpt")
+    write_checkpoint(partial, path, broadcast_limit=0)
+    resumed = _states(resume_ingest(spark, files, CFG, path,
+                                    broadcast_limit=0))
+    assert resumed.keys() == clean.keys()
+    for k in clean:
+        assert resumed[k] == clean[k], k
+
+
+def test_planned_worklist_records_failed_groups(spark, corpus, tmp_path):
+    """With a planned work-list, groups that produced no states get
+    complete=False manifest rows, so a repeatedly-failing group
+    accumulates attempts instead of restarting at 1 when it finally
+    succeeds (ADVICE r2: lineage previously relied on the caller
+    injecting incomplete rows)."""
+    files = spark.createDataFrame(corpus)
+    planned = files.select("repo", "lang").distinct()
+    ok = files.filter(F.col("repo") != "org3/repo3")
+    partial = build_sketches(ok, CFG)
+
+    path1 = str(tmp_path / "plan_ckpt1")
+    write_checkpoint(partial, path1, planned=planned)
+    _, m1 = read_checkpoint(spark, path1)
+    failed1 = m1.filter(~F.col("complete"))
+    assert {r["repo"] for r in failed1.collect()} == {"org3/repo3"}
+    assert {r["attempt"] for r in failed1.collect()} == {1}
+    assert failed1.filter(F.col("kind").isNotNull()).count() == 0
+
+    # run 2: org3/repo3 fails AGAIN -> attempt accumulates to 2
+    path2 = str(tmp_path / "plan_ckpt2")
+    write_checkpoint(partial, path2, planned=planned, prior_manifest=m1)
+    _, m2 = read_checkpoint(spark, path2)
+    failed2 = {r["repo"]: r["attempt"]
+               for r in m2.filter(~F.col("complete")).collect()}
+    assert failed2 == {"org3/repo3": 2}
+    # completed groups keep attempt=1
+    assert {r["attempt"] for r in m2.filter(F.col("complete")).collect()} \
+        == {1}
+
+    # run 3: it finally succeeds -> attempt = prior fails + 1 = 3
+    full = build_sketches(files, CFG)
+    path3 = str(tmp_path / "plan_ckpt3")
+    write_checkpoint(full, path3, planned=planned, prior_manifest=m2)
+    _, m3 = read_checkpoint(spark, path3)
+    att = {(r["repo"], r["kind"]): r["attempt"] for r in m3.collect()}
+    assert att[("org3/repo3", "bloom")] == 3
+    assert att[("org0/repo0", "bloom")] == 1
+    assert m3.filter(~F.col("complete")).count() == 0
