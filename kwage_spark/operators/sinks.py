@@ -38,9 +38,14 @@ def write_results_csv(results: DataFrame, path: str,
 def results_to_bigsi_json(results: DataFrame, threshold: float,
                           group_cols: list[str] | None = None) -> str:
     """Driver-side JSON string in BIGSI-python results shape:
-    {query_id: {"threshold": "0.5", "results": [{sample metadata,
+    {query_id: {"threshold": 0.5, "results": [{sample metadata,
     percent_kmers_found, num_kmers, num_kmers_found}, ...]}}
-    Result lists keep descending num_kmers_found order (Q8)."""
+    Result lists keep descending num_kmers_found order (Q8).
+
+    Float formatting follows `output.h:75-82` exactly: the reference sets
+    the stream to fixed 1-decimal for the threshold and (the manipulators
+    persist) prints percent_kmers_found the same way — so both are
+    emitted as numbers rounded to one decimal, never scientific."""
     gcols = group_cols or [c for c in results.columns
                            if c not in ("query_id", "num_kmers",
                                         "num_kmers_found", "percent_kmers_found",
@@ -50,15 +55,17 @@ def results_to_bigsi_json(results: DataFrame, threshold: float,
     out: dict[str, dict] = {}
     for r in rows:
         q = out.setdefault(str(r["query_id"]), {
-            # fixed 1-decimal threshold formatting, output.h:75-82
-            "threshold": f"{threshold:.1f}",
+            # fixed 1-decimal threshold (a NUMBER, not a string) —
+            # `std::showpoint << setprecision(1) << fixed`, output.h:75-82
+            "threshold": round(float(threshold), 1),
             "results": [],
         })
         rec = {c: r[c] for c in gcols}
         if has_meta:
             rec["sample_metadata"] = dict(r["sample_metadata"] or {})
         rec.update({
-            "percent_kmers_found": r["percent_kmers_found"],
+            # the stream manipulators persist: percent is fixed(1) too
+            "percent_kmers_found": round(float(r["percent_kmers_found"]), 1),
             "num_kmers": r["num_kmers"],
             "num_kmers_found": r["num_kmers_found"],
         })

@@ -39,7 +39,7 @@ def test_bigsi_json_shape_and_order(results):
     doc = json.loads(s)
     assert doc, "no queries in output"
     for qid, block in doc.items():
-        assert block["threshold"] == "0.3"
+        assert block["threshold"] == 0.3
         found = [r["num_kmers_found"] for r in block["results"]]
         assert found == sorted(found, reverse=True)
         for r in block["results"]:
@@ -53,3 +53,39 @@ def test_json_lines_sink(spark, results, tmp_path):
     back = spark.read.json(out)
     assert back.count() == results.count()
     assert "percent_kmers_found" in back.columns
+
+
+def test_bigsi_json_golden(spark):
+    """Byte-exact golden comparison of one end-to-end BIGSI JSON document:
+    floats are fixed 1-decimal numbers (threshold AND percent — the
+    reference's stream manipulators persist across both, output.h:75-82),
+    results keep descending num_kmers_found order, keys sorted."""
+    rows = [
+        ("org0/r0", "py", {"acc": "A1"}, 0, 30, 30, 100.0),
+        ("org1/r1", "py", {"acc": "B2"}, 0, 30, 20, 66.66666666666667),
+        ("org0/r0", "py", {"acc": "A1"}, 1, 12, 9, 75.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "repo string, lang string, sample_metadata map<string,string>, "
+              "query_id long, num_kmers long, num_kmers_found long, "
+              "percent_kmers_found double")
+    got = results_to_bigsi_json(df, threshold=0.5)
+    expected = json.dumps({
+        "0": {"threshold": 0.5, "results": [
+            {"repo": "org0/r0", "lang": "py",
+             "sample_metadata": {"acc": "A1"},
+             "percent_kmers_found": 100.0, "num_kmers": 30,
+             "num_kmers_found": 30},
+            {"repo": "org1/r1", "lang": "py",
+             "sample_metadata": {"acc": "B2"},
+             "percent_kmers_found": 66.7, "num_kmers": 30,
+             "num_kmers_found": 20},
+        ]},
+        "1": {"threshold": 0.5, "results": [
+            {"repo": "org0/r0", "lang": "py",
+             "sample_metadata": {"acc": "A1"},
+             "percent_kmers_found": 75.0, "num_kmers": 12,
+             "num_kmers_found": 9},
+        ]},
+    }, sort_keys=True)
+    assert got == expected
