@@ -189,6 +189,45 @@ def q_multimodal(spark, sf_dir):
             .drop("_fv"))
 
 
+@register("multimodal_frame_sample", r"""
+WITH m AS (
+  SELECT doc_id AS media_id, text
+  FROM documents
+  WHERE doc_id < 48 AND length(text) >= 64
+    AND regexp_full_match(text, '[\x00-\x7f]*')
+), f AS (
+  SELECT media_id,
+         CAST(unnest(generate_series(0,
+              CAST((length(text) - 1) // 64 AS INTEGER))) AS INTEGER)
+           AS frame_idx,
+         text
+  FROM m
+)
+SELECT media_id, frame_idx,
+       md5(substr(text, frame_idx * 64 + 1, 64)) AS frame_md5,
+       CAST(length(substr(text, frame_idx * 64 + 1, 64)) AS INTEGER)
+         AS n_bytes
+FROM f
+""")
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing (1-to-many mapInPandas) on the
+    scorecard WITH an oracle: the fake extractor slices the payload every
+    64 bytes, so on ASCII documents each frame is a text substring —
+    DuckDB recomputes md5 + byte length of every frame relationally."""
+    from .operators.multimodal import frame_sample
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter((F.col("doc_id") < 48) & (F.length("text") >= 64)
+                 & F.col("text").rlike(_ASCII_RE)))
+    media = d.select(F.col("doc_id").alias("media_id"),
+                     F.lit("video").alias("modality"),
+                     F.encode("text", "utf-8").alias("payload"))
+    frames = frame_sample(media, every_n_bytes=64, fake=True)
+    return frames.select(
+        "media_id", "frame_idx",
+        F.md5("frame_bytes").alias("frame_md5"),
+        F.length("frame_bytes").cast("int").alias("n_bytes"))
+
+
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)
 def q_winnowing(spark, sf_dir):
     """Scalar rows (doc_id, fingerprint) — exploded for the same
