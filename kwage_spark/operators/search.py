@@ -338,18 +338,20 @@ def exact_containment(files: DataFrame, queries: Sequence[tuple[int, str]],
                   f" i -> substring(snippet, i, {k}))")).alias("gram"))
               .distinct())
     totals = qgrams.groupBy("query_id").agg(F.count("*").alias("num_kmers"))
-    # broadcast-join the (tiny) query gram set BEFORE the distinct: the
-    # shuffle then carries only corpus grams that appear in some query,
-    # not the full corpus k-gram set (same algebra, ~corpus-sized saving)
+    # broadcast-join the (tiny) query gram set BEFORE aggregating: only
+    # corpus grams that appear in some query survive to the shuffle, not
+    # the full corpus k-gram set (same algebra, ~corpus-sized saving).
+    # countDistinct replaces the old distinct()+count() pair — ONE
+    # shuffle with map-side partial distinct instead of two full-row
+    # exchanges (the dedup work happens before rows leave the mapper).
     grams = (files
              .select(*gcols, F.explode(F.expr(
                  f"transform(sequence(1, greatest(length({cfg.content_col}) - {k - 1}, 0)),"
                  f" i -> substring({cfg.content_col}, i, {k}))")).alias("gram"))
-             .join(F.broadcast(qgrams), "gram")
-             .distinct())
+             .join(F.broadcast(qgrams), "gram"))
     hits = (grams
             .groupBy(*gcols, "query_id")
-            .agg(F.count("*").alias("num_kmers_found")))
+            .agg(F.countDistinct("gram").alias("num_kmers_found")))
     return (hits.join(F.broadcast(totals), "query_id")
             .withColumn("exact_fraction",
                         F.col("num_kmers_found") / F.col("num_kmers")))
