@@ -1,0 +1,88 @@
+"""Connected components over candidate-pair graphs — dedup clustering.
+
+A training-data dedup pipeline doesn't stop at near-dup PAIRS: documents
+dedup in CLUSTERS (a≈b, b≈c ⇒ {a,b,c} keep one representative). This is
+the pair→cluster step: undirected connected components labeled by the
+component's minimum vertex id, in pure DataFrame ops.
+
+Algorithm: min-label propagation WITH pointer doubling — each round
+every vertex takes the min label among itself and its neighbors (one
+join + one groupBy-min), then labels are compressed one hop
+(comp[v] := comp[comp[v]], a self-join on the label table — valid
+because every label is itself a vertex, and monotone because
+comp[x] ≤ x). The compression doubles the propagation distance per
+round, so convergence is O(log diameter) shuffles instead of
+O(diameter) — the same doubling idea as Kiveris et al.'s
+large-star/small-star ("Connected Components in MapReduce and
+Beyond"), but applied to the (v, comp) table so edges are never
+rewritten. comp values only ever decrease, so the global sum strictly
+decreases until fixpoint, making `sum unchanged` an exact convergence
+test costing one tiny aggregate per round.
+
+Each round's label table is localCheckpoint(eager=True)'d: persist()
+alone caches DATA but leaves the logical plan intact, and the per-round
+self-join would double that plan every iteration — Catalyst re-analyzes
+the whole history and the driver OOMs on a 40-vertex path. The local
+checkpoint truncates lineage to a LogicalRDD, so every round analyzes a
+constant-size plan; superseded checkpoint RDDs are released by Spark's
+ContextCleaner as the Python references drop each round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .caching import persist_tracked
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+    """(vertex, component) for every vertex with at least one edge;
+    component = min vertex id reachable via undirected edges.
+
+    Raises RuntimeError if not converged within ``max_iter`` rounds
+    (diameter > max_iter — switch to large-star/small-star).
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"),
+                                 F.col("s").alias("d")))
+    sym = persist_tracked(sym)
+    lab = (sym.select(F.col("s").alias("v")).distinct()
+           .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
+    total = lab.agg(F.sum("comp")).collect()[0][0]
+    if total is None:
+        return lab  # no edges
+    for _round in range(max_iter):
+        prop = (sym.join(lab, sym["s"] == lab["v"])
+                .select(F.col("d").alias("v"), F.col("comp")))
+        stepped = (lab.unionByName(prop).groupBy("v")
+                   .agg(F.min("comp").alias("comp")))
+        # pointer doubling: comp[v] := comp[comp[v]] — every label is a
+        # vertex, so the self-join always resolves; comp[x] <= x keeps
+        # the update monotone
+        a, b = stepped.alias("a"), stepped.alias("b")
+        new = (a.join(b, F.col("a.comp") == F.col("b.v"), "left")
+               .select(F.col("a.v").alias("v"),
+                       F.coalesce(F.col("b.comp"), F.col("a.comp"))
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
+        new_total = new.agg(F.sum("comp")).collect()[0][0]
+        converged = new_total == total  # comp is monotone non-increasing
+        lab, total = new, new_total
+        if converged:
+            return lab
+    raise RuntimeError(
+        f"connected_components: no fixpoint in {max_iter} rounds "
+        "(graph diameter too large — use a log-round star variant)")
+
+
+def dedup_representatives(pairs: DataFrame, id_a: str = "id_a",
+                          id_b: str = "id_b") -> DataFrame:
+    """(doc_id, keep) from a near-dup pair table: every document of a
+    component maps to the component's min id as its canonical survivor —
+    the keep/drop decision a dedup pipeline applies after LSH."""
+    comp = connected_components(pairs, src=id_a, dst=id_b)
+    return comp.select(F.col("v").alias("doc_id"),
+                       F.col("comp").alias("keep"))

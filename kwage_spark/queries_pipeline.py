@@ -189,6 +189,53 @@ def q_multimodal(spark, sf_dir):
             .drop("_fv"))
 
 
+@register("dedup_connected_components", f"""
+WITH RECURSIVE grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id, unnest(list_transform(
+             generate_series(1, greatest(length(text) - 4, 1)),
+             i -> substring(text, i, 5))) AS gram
+    FROM documents WHERE doc_id < 100)
+  WHERE length(gram) = 5
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id = a.doc_id + 1
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 5) >= 0.15
+), e AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), reach(v, r) AS (
+  SELECT s, s FROM e
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.v
+)
+SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY v
+""")
+def q_dedup_cc(spark, sf_dir):
+    """Pair→cluster dedup: connected components over the near-dup pair
+    graph (the step a pipeline applies after LSH candidate generation —
+    a≈b, b≈c collapse to one cluster). Spark side: iterative min-label
+    propagation in DataFrame ops (operators/components.py); oracle side:
+    DuckDB recursive CTE computing min reachable id — a full value check
+    of an iterative graph algorithm."""
+    from .operators.components import connected_components
+    from .queries import spark_queries
+    pairs = (spark_queries()["ngram_jaccard_adjacent"](spark, sf_dir)
+             .filter(F.col("jaccard") >= 0.15)
+             .select("doc_a", "doc_b"))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(F.col("v").alias("doc_id"),
+                       F.col("comp").alias("component"))
+
+
 @register("multimodal_frame_sample", r"""
 WITH m AS (
   SELECT doc_id AS media_id, text

@@ -186,3 +186,44 @@ def test_multimodal_frame_sample(spark):
     n_videos = media.filter(F.col("modality") == "video").count()
     assert frames.media_id.nunique() == n_videos
     assert (frames.groupby("media_id").frame_idx.max() >= 1).all()
+
+
+def test_connected_components_known_graph(spark):
+    """Chains, a triangle, an isolated edge — labels are each
+    component's min id; singleton-free output (only vertices with
+    edges)."""
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import (connected_components,
+                                                  dedup_representatives)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain 1-2-3-4
+         (10, 11), (11, 12), (10, 12),  # triangle
+         (20, 21),                      # lone edge
+         (7, 5), (5, 6)],               # chain given out of order
+        "src long, dst long")
+    comp = {r["v"]: r["comp"]
+            for r in connected_components(edges).collect()}
+    release_caches()
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20,
+                    5: 5, 6: 5, 7: 5}
+    keep = {r["doc_id"]: r["keep"]
+            for r in dedup_representatives(
+                edges, id_a="src", id_b="dst").collect()}
+    release_caches()
+    assert keep[4] == 1 and keep[12] == 10 and keep[21] == 20
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 40-vertex path exercises many propagation rounds (diameter-
+    bound convergence, not a fixed small iteration count)."""
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 140)], "src long, dst long")
+    comp = {r["v"]: r["comp"]
+            for r in connected_components(edges, max_iter=64).collect()}
+    release_caches()
+    assert set(comp.values()) == {100}
+    assert len(comp) == 41
