@@ -7,9 +7,10 @@ engines) with their accuracy asserted in tests/test_pipeline_ops.py.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
 
 from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
                               minhash_signatures, simhash_near_duplicates)
@@ -143,6 +144,24 @@ def q_ann_lsh(spark, sf_dir):
 _ASCII_RE = r"^[\x00-\x7F]*$"
 
 
+@register("ivf_topk_learned")  # rows-only (approximate; exact twin:
+def q_ivf_topk(spark, sf_dir):  # cosine_topk_bruteforce, oracle-green)
+    """ANN through an IVF index with LEARNED centroids: deterministic
+    distributed k-means coarse quantizer, inverted lists as partition
+    directories, nprobe nearest lists scanned via PartitionFilters,
+    exact re-rank inside (operators/similarity.py; recall + pruning
+    asserted in tests/test_pipeline_ops.py::test_ivf_index_recall...)."""
+    from .operators.similarity import build_ivf_index, ivf_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    first = e.orderBy("vec_id").first()
+    qv = [float(x) for x in first["embedding"]]
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/kwage_spark_scratch/{sf}/ivf_index"
+    build_ivf_index(e.filter(F.col("vec_id") != first["vec_id"]), path,
+                    k=16, iters=5)
+    return ivf_topk(spark, path, qv, topk=10, nprobe=4)
+
+
 @register("multimodal_featurize_fake", r"""
 WITH m AS (
   SELECT doc_id AS media_id, text
@@ -273,6 +292,49 @@ def q_frame_sample(spark, sf_dir):
         "media_id", "frame_idx",
         F.md5("frame_bytes").alias("frame_md5"),
         F.length("frame_bytes").cast("int").alias("n_bytes"))
+
+
+@register("hash_split_assign", """
+SELECT doc_id,
+       CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+            WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def q_hash_split(spark, sf_dir):
+    """Deterministic content-hash train/val/test assignment (~80/10/10
+    by md5 prefix): the standard leakage-safe split — identical content
+    always lands in the same split regardless of row order, partitioning
+    or re-runs, and near-dup survivors keep their assignment. Pure
+    built-ins, codegen, no shuffle."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pfx = F.substring(F.md5(F.col("text").cast("binary")), 1, 2)
+    return d.select(
+        "doc_id",
+        F.when(pfx < "cc", "train").when(pfx < "e6", "val")
+        .otherwise("test").alias("split"))
+
+
+@register("stratified_sample_per_group", """
+SELECT source, lang, doc_id FROM (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 3
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Stratified corpus sampling: up to N docs per (source, lang)
+    stratum, chosen by content-hash order — deterministic, unbiased by
+    storage order, and balanced across strata (the training-mix curation
+    op). The rank window partitions BY STRATUM: thousands of parallel
+    partitions, never a global sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = (W.partitionBy("source", "lang")
+         .orderBy(F.md5(F.col("text").cast("binary")), "doc_id"))
+    return (d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("source", "lang", "doc_id"))
 
 
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)

@@ -227,3 +227,30 @@ def test_connected_components_long_path_converges(spark):
     release_caches()
     assert set(comp.values()) == {100}
     assert len(comp) == 41
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF with learned centroids: k-means is deterministic, the probe
+    scan is partition-pruned, recall@10 beats the nprobe/k floor and
+    hits 1.0 at nprobe=k (brute-force equivalence)."""
+    from kwage_spark.operators.similarity import (build_ivf_index,
+                                                  cosine_topk, ivf_topk)
+    from kwage_spark.plans.inspect import partition_filters
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    path = str(tmp_path / "ivf")
+    c1 = build_ivf_index(emb, path, k=8, iters=4)
+    c2 = build_ivf_index(emb, str(tmp_path / "ivf2"), k=8, iters=4)
+    assert (c1 == c2).all(), "k-means must be deterministic"
+
+    res = ivf_topk(spark, path, qv, topk=10, nprobe=2)
+    pf = partition_filters(res)
+    assert "centroid" in pf, f"probe scan not partition-pruned:\n{pf}"
+    exact = [r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()]
+    got = [r["vec_id"] for r in res.collect()]
+    recall = len(set(got) & set(exact)) / 10
+    assert recall >= 0.5, f"nprobe=2 recall {recall}"
+    # nprobe = k degenerates to exact brute force
+    full = [r["vec_id"] for r in
+            ivf_topk(spark, path, qv, topk=10, nprobe=8).collect()]
+    assert full == exact
