@@ -254,3 +254,37 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
     full = [r["vec_id"] for r in
             ivf_topk(spark, path, qv, topk=10, nprobe=8).collect()]
     assert full == exact
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    """Dual-implementation oracle (the reference's own test practice,
+    bloom_test.cpp): a seeded random graph checked against an
+    independent pure-Python union-find."""
+    import numpy as np
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import connected_components
+    rng = np.random.default_rng(7)
+    n, m = 80, 70
+    pairs = {(int(min(p)), int(max(p)))
+             for p in rng.integers(0, n, size=(m, 2)) if p[0] != p[1]}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    touched = {v for p in pairs for v in p}
+    want = {}
+    for v in touched:
+        root = find(v)
+        want.setdefault(root, []).append(v)
+    expect = {v: min(vs) for vs in want.values() for v in vs}
+
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    got = {r["v"]: r["comp"] for r in connected_components(edges).collect()}
+    release_caches()
+    assert got == expect
