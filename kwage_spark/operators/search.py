@@ -344,10 +344,11 @@ def exact_containment(files: DataFrame, queries: Sequence[tuple[int, str]],
     # countDistinct replaces the old distinct()+count() pair — ONE
     # shuffle with map-side partial distinct instead of two full-row
     # exchanges (the dedup work happens before rows leave the mapper).
-    grams = (files
-             .select(*gcols, F.explode(F.expr(
-                 f"transform(sequence(1, greatest(length({cfg.content_col}) - {k - 1}, 0)),"
-                 f" i -> substring({cfg.content_col}, i, {k}))")).alias("gram"))
+    # Shingling via the two-level segment slide (queries.shingle_rel):
+    # one-level substring slides are O(len²) per doc — Spark's substring
+    # rescans from byte 0 for every window position.
+    from ..queries import shingle_rel
+    grams = (shingle_rel(files, gcols, cfg.content_col, k)
              .join(F.broadcast(qgrams), "gram"))
     hits = (grams
             .groupBy(*gcols, "query_id")

@@ -36,6 +36,47 @@ def kgram_sql(col: str, k: int) -> str:
             f" i -> substring({col}, i, {k})), x -> length(x) = {k})")
 
 
+SHINGLE_SEG = 256  # windows per segment in the two-level relational shingle
+
+
+def shingle_rel(df: DataFrame, keep_cols: list[str], text_col: str,
+                k: int, gram_col: str = "gram") -> DataFrame:
+    """Relational shingling that scales: (keep_cols…, gram) — one row per
+    k-char window of ``text_col``.
+
+    Spark's substring(col, pos, k) re-scans the string from byte 0 to
+    find pos's UTF-8 boundary, so the naive one-level slide is O(len²)
+    per document — measured as ~95% of the exact-containment cost at the
+    10× corpus. Two levels fix it with identical char semantics: cut the
+    doc into SHINGLE_SEG-window overlapping segments (outer substring is
+    O(len) each, O(len²/SEG) total), then slide INSIDE segments where
+    every position scan is ≤ SEG+k chars. Window i = seg·SEG + j is
+    emitted exactly once; short docs emit nothing (F7).
+    """
+    S = SHINGLE_SEG
+    cols = [F.col(c) for c in keep_cols]
+    # Shingling multiplies work ~len(text)× per input row, so a compact
+    # doc table (one 6 MB parquet split = ONE task) serializes the whole
+    # explode+probe pipeline — measured as the entire cost of the exact
+    # search at the 10× corpus. Widen thin inputs to the session's
+    # parallelism before exploding; at real scale the input already has
+    # thousands of splits and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return (df.filter(F.length(text_col) >= k)
+            .select(*cols, F.col(text_col).alias("_t"),
+                    F.explode(F.expr(
+                        f"sequence(0, (length({text_col}) - {k}) div {S})"))
+                    .alias("_s"))
+            .select(*cols, F.expr(
+                f"substring(_t, _s * {S} + 1, {S + k - 1})").alias("_seg"))
+            .select(*cols, F.col("_seg"), F.explode(F.expr(
+                f"sequence(1, length(_seg) - {k - 1})")).alias("_j"))
+            .select(*cols, F.expr(f"substring(_seg, _j, {k})")
+                    .alias(gram_col)))
+
+
 # the flagship containment query snippet: common-vocabulary tokens that
 # appear across many synthetic documents at every sf
 FLAGSHIP_SNIPPET = "table value part hash row scan filter data"
@@ -255,7 +296,10 @@ def exact_containment_flagship(spark, sf_dir):
     # the (tiny) query set, so the distinct shuffles a few hundred rows
     # instead of every k-gram in the corpus — at 100 TB the pre-filter is
     # the difference between a broadcast probe and a full-corpus shuffle.
-    dgrams = (d.select("source", F.explode(F.expr(kgram_sql("text", KGRAM_K))).alias("gram"))
+    # Shingling via the two-level segment slide (see shingle_rel): the
+    # one-level forms — transform-array AND naive index-explode — are
+    # O(len²) per doc in substring position scans.
+    dgrams = (shingle_rel(d, ["source"], "text", KGRAM_K)
               .join(F.broadcast(qgrams), "gram")
               .distinct())
     return (dgrams
@@ -532,10 +576,10 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 """)
 def ngram_jaccard_adjacent(spark, sf_dir):
-    """n-gram Jaccard near-dup scoring (dedup family), relational form."""
+    """n-gram Jaccard near-dup scoring (dedup family), relational form;
+    shingling via the two-level segment slide (shingle_rel)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    grams = (d.select("doc_id", F.explode(F.expr(kgram_sql("text", 5))).alias("gram"))
-             .distinct())
+    grams = shingle_rel(d, ["doc_id"], "text", 5).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
