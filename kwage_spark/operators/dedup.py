@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..kernels.murmur3 import murmur3_32_multiseed
 from ..kernels.shingle import windows_of
 from .caching import persist_tracked
+from .util import ensure_parallelism
 
 logger = logging.getLogger(__name__)
 
@@ -100,7 +101,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
             if ids:
                 yield pd.DataFrame({id_col: ids, "sig": [s.tolist() for s in sigs]})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, sig array<bigint>")
 
 
@@ -194,7 +195,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             if ids:
                 yield pd.DataFrame({id_col: ids, "simhash": sigs})
 
-    return df.select(id_col, text_col).mapInPandas(
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, simhash bigint")
 
 

@@ -65,7 +65,8 @@ def decode_and_featurize(df: DataFrame, fake: bool = False,
                 out["features"].append((feats / 255.0).astype(np.float32).tolist())
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(gen, schema=schema)
+    from .util import ensure_parallelism
+    return ensure_parallelism(df).mapInPandas(gen, schema=schema)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> DataFrame:
@@ -87,5 +88,6 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, fake: bool = False) -> 
                     rows["frame_bytes"].append(bytearray(raw[off:off + every_n_bytes]))
             yield pd.DataFrame(rows)
 
-    return (df.filter(F.col("modality") == "video")
+    from .util import ensure_parallelism
+    return (ensure_parallelism(df.filter(F.col("modality") == "video"))
             .mapInPandas(gen, schema=schema))

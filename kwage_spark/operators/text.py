@@ -103,5 +103,6 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
             if ids:
                 yield pd.DataFrame({id_col: ids, "fingerprints": fps})
 
-    return df.select(id_col, text_col).mapInPandas(
+    from .util import ensure_parallelism
+    return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, fingerprints array<bigint>")
