@@ -134,3 +134,20 @@ def test_ann_indexed_probe_prunes_partitions(spark, tmp_path):
         f"no partition pruning on bucket:\n{pf}"
     top = res.collect()
     assert top and top[0]["vec_id"] == first["vec_id"]  # self is its own NN
+
+
+def test_shingle_rel_widens_thin_inputs(spark):
+    """A one-split input must not serialize the explode-by-hundreds
+    shingle pipeline on a single task (the r3 profiling find: the whole
+    exact-containment cost was one task reading one 6 MB parquet split)."""
+    from kwage_spark.queries import shingle_rel
+    docs = (spark.read.parquet(f"{SF}/documents.parquet").coalesce(1))
+    assert docs.rdd.getNumPartitions() == 1
+    grams = shingle_rel(docs, ["doc_id"], "text", 8)
+    target = spark.sparkContext.defaultParallelism
+    assert grams.rdd.getNumPartitions() >= target, \
+        "shingle inherited the single input partition"
+    # and the widen is a no-op when the input is already wide
+    wide = spark.read.parquet(f"{SF}/documents.parquet").repartition(target * 2)
+    grams2 = shingle_rel(wide, ["doc_id"], "text", 8)
+    assert grams2.rdd.getNumPartitions() == target * 2
