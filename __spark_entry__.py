@@ -24,9 +24,13 @@ _ = (_qp, _qs)  # imported for their @register side effects
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sketch ingest + Bloom containment search on sf0.001."""
+    """Flagship: Bloom containment search over the PERSISTED sketch store
+    — write-once hash-bucketed layout, read back with a partition-pruning
+    bucket predicate (the reference's flagship shape: a query against
+    stored .db files, `kwage.cpp:98-113`, not freshly built sketches).
+    The plan shows PartitionFilters on `_bucket` (tests/test_plans.py)."""
     sf_dir = "/root/testdata/sf0.001"
-    return _qs.bloom_containment_search(spark, sf_dir)
+    return _qs.store_pruned_bloom_search(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -95,8 +95,37 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+#: Rows-only queries (no ANSI-SQL twin — murmur-/estimate-based by nature)
+#: in scorecard priority order. The driver harness records only the FIRST
+#: 50 registered queries, so ``spark_queries()`` lists every oracle-backed
+#: entry first and fills the remaining slots from this list top-down: the
+#: persisted-store flagship reads and the index/LSH families outrank the
+#: redundant estimate surfaces (each of which has an oracle-green exact
+#: twin and pytest accuracy bounds regardless of driver visibility).
+ROWS_ONLY_PRIORITY = [
+    "bloom_containment_search",    # flagship containment search (Q2-Q5)
+    "store_pruned_bloom_search",   # the reference's persisted-DB read path
+    "ann_topk_lsh",                # persisted hyperplane index probe
+    "ivf_topk_learned",            # learned-centroid IVF probe
+    "minhash_lsh_near_dups",       # MinHash+LSH banding dedup
+    "embedding_neardup_lsh",       # hyperplane embedding near-dup
+    "simhash_near_dups",           # SimHash pigeonhole dedup
+    "hll_distinct_kgrams",         # A15 estimate (twin: distinct_count_exact)
+    "cms_token_frequencies",       # A2 estimate (twin: token_having_mincount)
+    "size_quantile_sketches",      # A16 KLL+t-digest (twin: quantiles_exact)
+    "bloom_fp_audit",              # FP-bound conformance surface
+    "winnowing_fingerprints_sample",
+]
+
+
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_SPARK)
+    """Registered queries in DRIVER-SCORECARD order: oracle-backed first
+    (registration order), then rows-only by ``ROWS_ONLY_PRIORITY``."""
+    prio = {n: i for i, n in enumerate(ROWS_ONLY_PRIORITY)}
+    oracle_first = [n for n in _SPARK if n in _ORACLE]
+    rows_only = sorted((n for n in _SPARK if n not in _ORACLE),
+                       key=lambda n: prio.get(n, len(prio)))
+    return {n: _SPARK[n] for n in oracle_first + rows_only}
 
 
 def oracle_queries() -> dict[str, str]:

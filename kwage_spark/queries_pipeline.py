@@ -13,7 +13,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
-                              minhash_signatures, simhash_near_duplicates)
+                              simhash_near_duplicates)
 from .operators.similarity import ann_topk_indexed, build_ann_index
 from .operators.text import (_STOPWORDS, language_id, quality_scores,
                              token_count_bpe, winnowing_fingerprints)
@@ -96,15 +96,10 @@ def q_minhash_lsh(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
-@register("minhash_signatures_sample")  # rows-only (murmur-based)
-def q_minhash_signatures(spark, sf_dir):
-    """Scalar rows (doc_id, perm_idx, sig_value): the driver canonicalizer
-    sorts output cells, so array columns are exploded here; library callers
-    get the array form from minhash_signatures directly."""
-    d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-         .filter(F.col("doc_id") < 50))
-    sigs = minhash_signatures(d, "doc_id", "text", k=5, num_perm=32)
-    return sigs.select("doc_id", F.posexplode("sig").alias("perm_idx", "sig_value"))
+# NOTE: the former minhash_signatures_sample query was retired from the
+# registry (round 4): the driver records only the first 50 registered
+# queries, and its coverage fully duplicates minhash_lsh_near_dups (which
+# consumes the same minhash_signatures surface) + the planted-dup pytest.
 
 
 @register("embedding_neardup_lsh")  # rows-only (bucketing is approximate)
@@ -356,7 +351,7 @@ def q_stratified_sample(spark, sf_dir):
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)
 def q_winnowing(spark, sf_dir):
     """Scalar rows (doc_id, fingerprint) — exploded for the same
-    canonicalizer reason as minhash_signatures_sample."""
+    canonicalizer reason as the sketch-family queries (no array cells)."""
     d = (spark.read.parquet(f"{sf_dir}/documents.parquet")
          .filter(F.col("doc_id") < 50))
     fps = winnowing_fingerprints(d, "doc_id", "text")

@@ -92,10 +92,15 @@ def store_group_lookup(spark, sf_dir):
 def store_pruned_bloom_search(spark, sf_dir):
     """The reference's actual flagship shape: containment search over a
     PERSISTED, bucket-pruned sketch store read — not freshly built
-    in-memory sketches. Exact twin: exact_containment_flagship."""
+    in-memory sketches. Exact twin: exact_containment_flagship.
+
+    ``emit_all`` reports every scanned group's containment stats (the
+    reference's --all CSV mode, `output.h:35-59`) so the flagship always
+    returns one row per (source, lang) in the pruned group even at tiny
+    sf where no group clears a threshold."""
     grp = _pruned_store_group(spark, sf_dir)
     return containment_search(grp, [(0, FLAGSHIP_SNIPPET)], DOC_CFG,
-                              threshold=0.3)
+                              threshold=0.3, emit_all=True)
 
 
 @register("sketch_build_metrics", f"""
@@ -145,32 +150,30 @@ def cms_token_frequencies(spark, sf_dir):
             .orderBy("probe"))
 
 
-@register("kll_size_quantiles")  # A16 — per-lang file-size quantiles
-def kll_size_quantiles(spark, sf_dir):
-    cfg = SketchConfig(group_cols=("lang",), content_col="text",
-                       size_col="n_chars", kinds=("kll",),
-                       bloom=DOC_CFG.bloom, kll_k=200)
-    sk = build_sketches(_docs(spark, sf_dir), cfg)
-    qs = sk.select("lang", fx.sketch_quantiles("state", [0.25, 0.5, 0.75])
-                   .alias("qs"))
-    return (qs.select("lang", F.col("qs")[0].alias("p25"),
-                      F.col("qs")[1].alias("p50"), F.col("qs")[2].alias("p75"))
-            .orderBy("lang"))
-
-
-@register("tdigest_size_quantiles")  # A16 twin of kll_size_quantiles:
-def tdigest_size_quantiles(spark, sf_dir):
-    """t-digest per-lang size quantiles — tail-accurate counterpart of
-    KLL for max-size admission policies (F6, `README.md:224`)."""
-    cfg = SketchConfig(group_cols=("lang",), content_col="text",
-                       size_col="n_chars", kinds=("tdigest",),
-                       bloom=DOC_CFG.bloom, tdigest_delta=100)
-    sk = build_sketches(_docs(spark, sf_dir), cfg)
-    qs = sk.select("lang", fx.sketch_quantiles("state", [0.01, 0.5, 0.99])
-                   .alias("qs"))
-    return (qs.select("lang", F.col("qs")[0].alias("p01"),
-                      F.col("qs")[1].alias("p50"), F.col("qs")[2].alias("p99"))
-            .orderBy("lang"))
+@register("size_quantile_sketches")  # A16 — per-lang file-size quantiles
+def size_quantile_sketches(spark, sf_dir):
+    """Per-lang size quantiles from BOTH A16 sketch families in one
+    scorecard entry (the former kll_/tdigest_size_quantiles pair, merged
+    so the driver's 50-query window holds every oracle-backed query):
+    KLL for rank-uniform error, t-digest for tail accuracy (max-size
+    admission policies, F6 / `README.md:224`). Exact twin:
+    quantiles_exact in queries.py."""
+    out = None
+    for method, kinds, extra in (("kll", ("kll",), {"kll_k": 200}),
+                                 ("tdigest", ("tdigest",),
+                                  {"tdigest_delta": 100})):
+        cfg = SketchConfig(group_cols=("lang",), content_col="text",
+                           size_col="n_chars", kinds=kinds,
+                           bloom=DOC_CFG.bloom, **extra)
+        sk = build_sketches(_docs(spark, sf_dir), cfg)
+        qs = (sk.select("lang", fx.sketch_quantiles(
+                  "state", [0.25, 0.5, 0.75]).alias("qs"))
+              .select("lang", F.lit(method).alias("method"),
+                      F.col("qs")[0].alias("p25"),
+                      F.col("qs")[1].alias("p50"),
+                      F.col("qs")[2].alias("p75")))
+        out = qs if out is None else out.unionByName(qs)
+    return out.orderBy("lang", "method")
 
 
 @register("bloom_fp_audit")  # error-bound conformance as a query

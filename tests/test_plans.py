@@ -136,6 +136,18 @@ def test_ann_indexed_probe_prunes_partitions(spark, tmp_path):
     assert top and top[0]["vec_id"] == first["vec_id"]  # self is its own NN
 
 
+def test_entry_reads_persisted_store_pruned(spark):
+    """The driver flagship `entry()` must BE the persisted-store search:
+    its plan reads the hash-bucketed store back with a PartitionFilter on
+    `_bucket` (the reference's flagship is a stored-DB read,
+    `kwage.cpp:98-113` — not an in-memory rebuild)."""
+    import __spark_entry__ as entry_mod
+    from kwage_spark.plans.inspect import partition_filters
+    df = entry_mod.entry(spark)
+    pf = partition_filters(df)
+    assert "_bucket" in pf, f"entry() is not a pruned store read:\n{pf}"
+
+
 def test_shingle_rel_widens_thin_inputs(spark):
     """A one-split input must not serialize the explode-by-hundreds
     shingle pipeline on a single task (the r3 profiling find: the whole
