@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from kwage_spark.operators.caching import release_caches         # noqa: E402
 from kwage_spark.queries import FLAGSHIP_SNIPPET, spark_queries  # noqa: E402
 from kwage_spark.queries_sketch import DOC_CFG                   # noqa: E402
 from kwage_spark.operators.ingest import build_sketches          # noqa: E402
@@ -80,7 +81,12 @@ def main() -> None:
     cat = spark_queries()
     for name in SQL_BENCH:
         t0 = time.perf_counter()
-        _materialize(cat[name](spark, sf_dir))
+        try:
+            _materialize(cat[name](spark, sf_dir))
+        finally:
+            # operator-internal caches must not accumulate across the
+            # suite (cache hygiene: operators/caching.py)
+            release_caches()
         queries[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(queries.values()), 4)

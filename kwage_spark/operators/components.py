@@ -33,49 +33,73 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .caching import persist_tracked
-
 
 def connected_components(edges: DataFrame, src: str = "src",
-                         dst: str = "dst", max_iter: int = 50) -> DataFrame:
+                         dst: str = "dst", max_iter: int = 50,
+                         reliable_checkpoint_dir: str | None = None
+                         ) -> DataFrame:
     """(vertex, component) for every vertex with at least one edge;
     component = min vertex id reachable via undirected edges.
+
+    ``reliable_checkpoint_dir``: by default each round truncates lineage
+    with ``localCheckpoint`` — blocks live on EXECUTORS, so on a real
+    cluster a lost executor kills the job mid-algorithm (fine on
+    single-node / fast-retry settings, fastest option). Passing a
+    directory (HDFS/S3A at scale) switches every round to a RELIABLE
+    ``checkpoint()`` written through ``setCheckpointDir``: rounds survive
+    executor loss at the cost of one distributed write per round — the
+    right trade at 100 TB where a multi-hour job must not restart from
+    round 0.
 
     Raises RuntimeError if not converged within ``max_iter`` rounds
     (diameter > max_iter — switch to large-star/small-star).
     """
+    if reliable_checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(
+            reliable_checkpoint_dir)
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = edges.select(F.col(src).cast("long").alias("s"),
                      F.col(dst).cast("long").alias("d"))
     sym = e.unionByName(e.select(F.col("d").alias("s"),
                                  F.col("s").alias("d")))
-    sym = persist_tracked(sym)
-    lab = (sym.select(F.col("s").alias("v")).distinct()
-           .withColumn("comp", F.col("v")).localCheckpoint(eager=True))
-    total = lab.agg(F.sum("comp")).collect()[0][0]
-    if total is None:
-        return lab  # no edges
-    for _round in range(max_iter):
-        prop = (sym.join(lab, sym["s"] == lab["v"])
-                .select(F.col("d").alias("v"), F.col("comp")))
-        stepped = (lab.unionByName(prop).groupBy("v")
-                   .agg(F.min("comp").alias("comp")))
-        # pointer doubling: comp[v] := comp[comp[v]] — every label is a
-        # vertex, so the self-join always resolves; comp[x] <= x keeps
-        # the update monotone
-        a, b = stepped.alias("a"), stepped.alias("b")
-        new = (a.join(b, F.col("a.comp") == F.col("b.v"), "left")
-               .select(F.col("a.v").alias("v"),
-                       F.coalesce(F.col("b.comp"), F.col("a.comp"))
-                       .alias("comp"))
-               .localCheckpoint(eager=True))
-        new_total = new.agg(F.sum("comp")).collect()[0][0]
-        converged = new_total == total  # comp is monotone non-increasing
-        lab, total = new, new_total
-        if converged:
-            return lab
-    raise RuntimeError(
-        f"connected_components: no fixpoint in {max_iter} rounds "
-        "(graph diameter too large — use a log-round star variant)")
+    # read every round (the propagation join); released before return —
+    # the returned label table is checkpointed, so it no longer depends
+    # on this cache
+    sym = sym.persist()
+    try:
+        lab = ckpt(sym.select(F.col("s").alias("v")).distinct()
+                   .withColumn("comp", F.col("v")))
+        total = lab.agg(F.sum("comp")).collect()[0][0]
+        if total is None:
+            return lab  # no edges
+        for _round in range(max_iter):
+            prop = (sym.join(lab, sym["s"] == lab["v"])
+                    .select(F.col("d").alias("v"), F.col("comp")))
+            stepped = (lab.unionByName(prop).groupBy("v")
+                       .agg(F.min("comp").alias("comp")))
+            # pointer doubling: comp[v] := comp[comp[v]] — every label is
+            # a vertex, so the self-join always resolves; comp[x] <= x
+            # keeps the update monotone
+            a, b = stepped.alias("a"), stepped.alias("b")
+            new = ckpt(a.join(b, F.col("a.comp") == F.col("b.v"), "left")
+                       .select(F.col("a.v").alias("v"),
+                               F.coalesce(F.col("b.comp"), F.col("a.comp"))
+                               .alias("comp")))
+            new_total = new.agg(F.sum("comp")).collect()[0][0]
+            converged = new_total == total  # comp monotone non-increasing
+            lab, total = new, new_total
+            if converged:
+                return lab
+        raise RuntimeError(
+            f"connected_components: no fixpoint in {max_iter} rounds "
+            "(graph diameter too large — use a log-round star variant)")
+    finally:
+        sym.unpersist()
 
 
 def dedup_representatives(pairs: DataFrame, id_a: str = "id_a",

@@ -230,10 +230,12 @@ def chunk_binpack(spark, sf_dir):
     broadcast prefix offsets, operators/binpack.py) — an unpartitioned
     row_number window would pull the whole table through ONE task."""
     from .operators.binpack import chunked_ids
+    from .operators.caching import scoped_materialize
     o = _t(spark, sf_dir, "orders").select("o_orderkey")
-    return (chunked_ids(o, "o_orderkey", chunk_size=2048)
-            .groupBy("chunk_id")
-            .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("first_key")))
+    return scoped_materialize(
+        lambda: chunked_ids(o, "o_orderkey", chunk_size=2048)
+        .groupBy("chunk_id")
+        .agg(F.count("*").alias("n"), F.min("o_orderkey").alias("first_key")))
 
 
 # ============================================================ filters (F1-F8)

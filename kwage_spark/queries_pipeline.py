@@ -12,6 +12,7 @@ import os
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .operators.caching import scoped_materialize as _scoped_materialize
 from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
                               simhash_near_duplicates)
 from .operators.similarity import ann_topk_indexed, build_ann_index
@@ -91,9 +92,10 @@ def q_language_id(spark, sf_dir):
 @register("minhash_lsh_near_dups")  # rows-only (murmur-based)
 def q_minhash_lsh(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (minhash_lsh_pairs(d, "doc_id", "text", k=5, num_perm=64,
-                              bands=16, threshold=0.5)
-            .orderBy("id_a", "id_b"))
+    return _scoped_materialize(
+        lambda: minhash_lsh_pairs(d, "doc_id", "text", k=5, num_perm=64,
+                                  bands=16, threshold=0.5)
+        .orderBy("id_a", "id_b"))
 
 
 # NOTE: the former minhash_signatures_sample query was retired from the
@@ -108,16 +110,18 @@ def q_embedding_neardup(spark, sf_dir):
     relational twin is the SQL-checked cosine_neardup_exact in queries.py
     (recall vs that oracle asserted in tests/test_pipeline_ops.py)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return (embedding_near_duplicates(e, "vec_id", "embedding",
-                                      threshold=0.2, n_planes=6)
-            .orderBy("id_a", "id_b"))
+    return _scoped_materialize(
+        lambda: embedding_near_duplicates(e, "vec_id", "embedding",
+                                          threshold=0.2, n_planes=6)
+        .orderBy("id_a", "id_b"))
 
 
 @register("simhash_near_dups")  # rows-only
 def q_simhash(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
-            .orderBy("id_a", "id_b"))
+    return _scoped_materialize(
+        lambda: simhash_near_duplicates(d, "doc_id", "text", max_hamming=3)
+        .orderBy("id_a", "id_b"))
 
 
 @register("ann_topk_lsh")  # rows-only (approximate by design)

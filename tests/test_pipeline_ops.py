@@ -229,6 +229,29 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == 41
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """The reliable-checkpoint path (setCheckpointDir + checkpoint()
+    per round — survives executor loss on a real cluster, unlike
+    localCheckpoint's executor-resident blocks) yields the identical
+    labeling and actually writes checkpoint data."""
+    import os
+
+    from kwage_spark.operators.components import connected_components
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long")
+    ckpt_dir = str(tmp_path / "ckpt")
+    comp = {r["v"]: r["comp"]
+            for r in connected_components(
+                edges, reliable_checkpoint_dir=ckpt_dir).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1,
+                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    # reliable checkpoints were actually written through the dir
+    found = [os.path.join(dp, f) for dp, _dn, fn in os.walk(ckpt_dir)
+             for f in fn]
+    assert found, "no reliable checkpoint files written"
+
+
 def test_ivf_index_recall_and_pruning(spark, tmp_path):
     """IVF with learned centroids: k-means is deterministic, the probe
     scan is partition-pruned, recall@10 beats the nprobe/k floor and

@@ -90,11 +90,16 @@ def test_band_join_shuffle_excludes_signatures(spark):
 
 def test_chunk_binpack_has_no_single_partition_exchange(spark):
     """A12 packing must range-shuffle, never Exchange SinglePartition
-    (the unpartitioned row_number window regression)."""
+    (the unpartitioned row_number window regression). Inspects the
+    operator directly — the registered query localCheckpoints (scoped
+    cache release), which truncates the inspectable plan."""
+    from kwage_spark.operators.binpack import chunked_ids
+    from kwage_spark.operators.caching import release_caches
     from kwage_spark.plans.inspect import physical_plan
-    from kwage_spark.queries import chunk_binpack
-    df = chunk_binpack(spark, "/root/testdata/sf0.001")
+    o = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey")
+    df = chunked_ids(o, "o_orderkey", chunk_size=2048)
     plan = physical_plan(df)
+    release_caches()
     assert "SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
 
