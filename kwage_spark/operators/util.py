@@ -16,8 +16,22 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None
     exact-containment query spent ~90% of its time this way). At real
     scale inputs arrive in thousands of splits and this returns ``df``
     unchanged; the repartition only fires below the session parallelism.
+
+    Safety: streaming DataFrames pass through untouched (``df.rdd`` is
+    undefined for them, and micro-batch parallelism is the source's
+    concern), and a partition probe that fails for any reason degrades
+    to no widening rather than breaking the operator. Callers whose
+    input is KNOWN to be trivially small (a scoped test query) should
+    skip the widen at the call site — the probe itself can cost a
+    hidden job under AQE when the plan has upstream shuffles.
     """
+    if df.isStreaming:
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — plan not probe-able; keep as-is
+        return df
+    if n < target:
         return df.repartition(target)
     return df

@@ -40,7 +40,8 @@ SHINGLE_SEG = 256  # windows per segment in the two-level relational shingle
 
 
 def shingle_rel(df: DataFrame, keep_cols: list[str], text_col: str,
-                k: int, gram_col: str = "gram") -> DataFrame:
+                k: int, gram_col: str = "gram",
+                widen: bool = True) -> DataFrame:
     """Relational shingling that scales: (keep_cols…, gram) — one row per
     k-char window of ``text_col``.
 
@@ -52,18 +53,21 @@ def shingle_rel(df: DataFrame, keep_cols: list[str], text_col: str,
     O(len) each, O(len²/SEG) total), then slide INSIDE segments where
     every position scan is ≤ SEG+k chars. Window i = seg·SEG + j is
     emitted exactly once; short docs emit nothing (F7).
+
+    ``widen``: shingling multiplies work ~len(text)× per input row, so a
+    compact doc table (one 6 MB parquet split = ONE task) serializes the
+    whole explode+probe pipeline. Thin inputs are widened to the session
+    parallelism before exploding (operators/util.ensure_parallelism) —
+    a no-op at real scale where inputs arrive in thousands of splits.
+    Callers whose input is KNOWN tiny (a scoped handful of docs) pass
+    ``widen=False``: the repartition shuffle costs more than it buys
+    below ~a few hundred KB of text.
     """
+    from .operators.util import ensure_parallelism
     S = SHINGLE_SEG
     cols = [F.col(c) for c in keep_cols]
-    # Shingling multiplies work ~len(text)× per input row, so a compact
-    # doc table (one 6 MB parquet split = ONE task) serializes the whole
-    # explode+probe pipeline — measured as the entire cost of the exact
-    # search at the 10× corpus. Widen thin inputs to the session's
-    # parallelism before exploding; at real scale the input already has
-    # thousands of splits and this is a no-op.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    if widen:
+        df = ensure_parallelism(df)
     return (df.filter(F.length(text_col) >= k)
             .select(*cols, F.col(text_col).alias("_t"),
                     F.explode(F.expr(
@@ -608,9 +612,13 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """)
 def ngram_jaccard_adjacent(spark, sf_dir):
     """n-gram Jaccard near-dup scoring (dedup family), relational form;
-    shingling via the two-level segment slide (shingle_rel)."""
+    shingling via the two-level segment slide (shingle_rel). The input
+    is deliberately scoped to <100 docs (an exact pairwise oracle needs
+    a bounded corpus — the scale path is MinHash-LSH), so the widen is
+    skipped: repartitioning ~100 rows costs more than one task saves
+    (the r3→r4 bench regression)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    grams = shingle_rel(d, ["doc_id"], "text", 5).distinct()
+    grams = shingle_rel(d, ["doc_id"], "text", 5, widen=False).distinct()
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")

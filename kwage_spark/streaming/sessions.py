@@ -40,15 +40,46 @@ def _fold_user(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                                                 "session_end", "n_events"])
         return
     start, last, n = state.get if state.exists else (None, None, 0)
-    for pdf in pdfs:
-        for sec in sorted(int(s) for s in pdf["sec"]):
-            if start is None:
-                start, last, n = sec, sec, 1
-            elif sec - last > gap_sec:
-                closed.append((user_id, start, last, n))
-                start, last, n = sec, sec, 1
+    # ONE sort across every Arrow chunk of the micro-batch: per-chunk
+    # sorting lets a later chunk's earlier event regress `last` and move
+    # the open session's end backwards (round-3 advice finding).
+    secs = sorted(int(s) for pdf in pdfs for s in pdf["sec"])
+    # Events OLDER than the open session's start (admitted late by a
+    # watermark longer than the gap, arriving in a later micro-batch)
+    # fold into their own chronological sessions first; the trailing one
+    # merges into the open session when within the gap. An ultra-late run
+    # separated from the open start by more than the gap emits as its own
+    # closed session — it may split what a full-history batch fold would
+    # have merged with even earlier (already-emitted) events; that
+    # divergence is bounded by the watermark and preferable to corrupting
+    # the open session (which a naive fold-in does).
+    if start is not None:
+        late = [s for s in secs if s < start]
+        secs = secs[len(late):]
+        if late:
+            l_start = l_last = late[0]
+            l_n = 1
+            for s in late[1:]:
+                if s - l_last > gap_sec:
+                    closed.append((user_id, l_start, l_last, l_n))
+                    l_start = l_last = s
+                    l_n = 1
+                else:
+                    l_last, l_n = s, l_n + 1
+            if start - l_last <= gap_sec:
+                start, n = l_start, n + l_n      # extends the open session
             else:
-                last, n = sec, n + 1
+                closed.append((user_id, l_start, l_last, l_n))
+    for sec in secs:
+        if start is None:
+            start, last, n = sec, sec, 1
+        elif sec - last > gap_sec:
+            closed.append((user_id, start, last, n))
+            start, last, n = sec, sec, 1
+        else:
+            # sec may fall INSIDE the open span (start <= sec <= last)
+            # when state carries across micro-batches: never regress
+            last, n = max(last, sec), n + 1
     if start is not None:
         state.update((start, last, n))
         # close via timeout once the watermark passes the gap

@@ -168,3 +168,17 @@ def test_shingle_rel_widens_thin_inputs(spark):
     wide = spark.read.parquet(f"{SF}/documents.parquet").repartition(target * 2)
     grams2 = shingle_rel(wide, ["doc_id"], "text", 8)
     assert grams2.rdd.getNumPartitions() == target * 2
+    # widen=False skips the repartition for scoped-tiny inputs
+    grams3 = shingle_rel(docs, ["doc_id"], "text", 8, widen=False)
+    assert grams3.rdd.getNumPartitions() == 1
+
+
+def test_ensure_parallelism_passes_streaming_through(spark):
+    """The widen helper must be usable inside operators that also serve
+    readStream pipelines: streaming plans pass through untouched
+    (df.rdd is undefined for them)."""
+    from kwage_spark.operators.util import ensure_parallelism
+    stream = (spark.readStream.format("rate")
+              .option("rowsPerSecond", 1).load())
+    out = ensure_parallelism(stream)
+    assert out is stream
