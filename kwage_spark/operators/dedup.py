@@ -43,18 +43,25 @@ DEFAULT_MAX_BUCKET = 1024
 
 
 def _cap_hot_buckets(keyed: DataFrame, bucket_cols: list[str], id_col: str,
-                     cap: int | None, op_name: str) -> DataFrame:
+                     cap: int | None, op_name: str,
+                     audit: bool = False) -> DataFrame:
     """Bound degenerate LSH buckets before a within-bucket self-join.
 
     One hot bucket — boilerplate docs sharing a zero chunk, near-constant
     embeddings collapsing to one sign pattern — reintroduces exactly the
     O(b²) pair blow-up the bucketing exists to prevent. Rows ranked past
     ``cap`` (deterministic rank by ``id_col``, so runs are reproducible)
-    are dropped from the bucket and the drop is LOGGED per bucket — no
-    silent truncation (≙ the reference's per-pair result cap,
+    are dropped from the bucket (≙ the reference's per-pair result cap,
     `SriRachA/search_by_kmer.cpp:86-90`). Pairs among a hot bucket's
     first ``cap`` members are still found; callers needing full recall on
     a pathological corpus pass ``max_bucket=None``.
+
+    ``audit=True`` logs the drop via ONE bounded aggregate row (bucket
+    count / rows dropped / worst bucket) — never a per-bucket collect,
+    which on a pathological corpus could pull millions of rows to the
+    driver. It is opt-in because the aggregate is an extra eager job
+    over the keyed table per operator call, at construction time; the
+    capping itself is lazy and deterministic either way.
 
     The rank window partitions BY BUCKET — thousands of parallel
     partitions, never a single-partition window; a hot bucket costs one
@@ -64,18 +71,20 @@ def _cap_hot_buckets(keyed: DataFrame, bucket_cols: list[str], id_col: str,
         return keyed
     w = W.partitionBy(*bucket_cols).orderBy(id_col)
     ranked = keyed.withColumn("_brank", F.row_number().over(w))
-    dropped = (ranked.filter(F.col("_brank") > cap)
-               .groupBy(*bucket_cols)
-               .agg(F.count(F.lit(1)).alias("n_dropped"))
-               .collect())  # tiny by construction: only degenerate buckets
-    if dropped:
-        total = sum(r["n_dropped"] for r in dropped)
-        worst = max(dropped, key=lambda r: r["n_dropped"])
-        logger.warning(
-            "%s: capped %d hot LSH bucket(s) at %d members — dropped %d "
-            "rows total (worst bucket %s dropped %d); pass max_bucket=None "
-            "to disable", op_name, len(dropped), cap, total,
-            tuple(worst[c] for c in bucket_cols), worst["n_dropped"])
+    if audit:
+        stats = (ranked.filter(F.col("_brank") > cap)
+                 .groupBy(*bucket_cols)
+                 .agg(F.count(F.lit(1)).alias("n_dropped"))
+                 .agg(F.count(F.lit(1)).alias("n_buckets"),
+                      F.sum("n_dropped").alias("n_rows"),
+                      F.max("n_dropped").alias("worst"))
+                 .collect()[0])  # exactly one row regardless of corpus
+        if stats["n_buckets"]:
+            logger.warning(
+                "%s: capped %d hot LSH bucket(s) at %d members — dropped "
+                "%d rows total (worst bucket dropped %d); pass "
+                "max_bucket=None to disable", op_name, stats["n_buckets"],
+                cap, stats["n_rows"], stats["worst"])
     return ranked.filter(F.col("_brank") <= cap).drop("_brank")
 
 
@@ -122,7 +131,8 @@ def band_keys(sigs: DataFrame, id_col: str, bands: int, r: int) -> DataFrame:
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
                       k: int = 5, num_perm: int = 64, bands: int = 16,
                       threshold: float = 0.7,
-                      max_bucket: int | None = DEFAULT_MAX_BUCKET) -> DataFrame:
+                      max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                      bucket_audit: bool = False) -> DataFrame:
     """Candidate pairs via banding, verified by signature-Jaccard >= threshold.
 
     rows_per_band = num_perm // bands; the usual S-curve gives candidate
@@ -142,7 +152,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
     banded = _cap_hot_buckets(band_keys(sigs, id_col, bands, r),
                               ["band", "bkey"], id_col, max_bucket,
-                              "minhash_lsh_pairs")
+                              "minhash_lsh_pairs", audit=bucket_audit)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -201,8 +211,8 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
                             max_hamming: int = 3,
-                            max_bucket: int | None = DEFAULT_MAX_BUCKET
-                            ) -> DataFrame:
+                            max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                            bucket_audit: bool = False) -> DataFrame:
     """Pairs within Hamming distance d via the chunk trick: split 64 bits
     into d+1 chunks — any pair with distance <= d matches exactly on at
     least one chunk (pigeonhole). Bucket-join on (chunk_idx, chunk_value),
@@ -219,11 +229,12 @@ def simhash_near_duplicates(df: DataFrame, id_col: str, text_col: str,
     keyed = sigs.select(id_col, "simhash", chunks).select(
         id_col, "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv"))
     if max_bucket is not None:
-        # persisted (tracked): the cap's bucket-size audit is a second
-        # read of keyed — without a cache the simhash UDF pass re-runs
+        # persisted (tracked): the within-bucket self-join reads keyed on
+        # BOTH sides — without a cache the simhash UDF pass runs twice
         keyed = _cap_hot_buckets(persist_tracked(keyed), ["ci", "cv"],
                                  id_col, max_bucket,
-                                 "simhash_near_duplicates")
+                                 "simhash_near_duplicates",
+                                 audit=bucket_audit)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -243,8 +254,8 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
                               n_planes: int = 12,
-                              max_bucket: int | None = DEFAULT_MAX_BUCKET
-                              ) -> DataFrame:
+                              max_bucket: int | None = DEFAULT_MAX_BUCKET,
+                              bucket_audit: bool = False) -> DataFrame:
     """Cosine near-dup via random-hyperplane LSH + exact re-rank.
 
     Seeded Gaussian hyperplanes (deterministic); sign pattern -> bucket;
@@ -273,11 +284,12 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
 
     keyed = df.select(id_col, vec_col).withColumn("bucket", bucket_of(F.col(vec_col)))
     if max_bucket is not None:
-        # persisted (tracked): avoids re-running the bucket UDF pass for
-        # the cap's bucket-size audit
+        # persisted (tracked): the self-join reads keyed on both sides —
+        # the cache keeps the bucket UDF pass to one run
         keyed = _cap_hot_buckets(persist_tracked(keyed), ["bucket"],
                                  id_col, max_bucket,
-                                 "embedding_near_duplicates")
+                                 "embedding_near_duplicates",
+                                 audit=bucket_audit)
     a, b = keyed.alias("a"), keyed.alias("b")
     dot = F.expr(f"aggregate(zip_with(a.{vec_col}, b.{vec_col},"
                  " (x, y) -> cast(x as double) * cast(y as double)),"

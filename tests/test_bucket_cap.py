@@ -33,7 +33,8 @@ def test_simhash_hot_bucket_capped_still_finds_planted(spark, caplog):
     cap = 16
     with caplog.at_level(logging.WARNING, "kwage_spark.operators.dedup"):
         pairs = simhash_near_duplicates(docs, "doc_id", "text",
-                                        max_hamming=3, max_bucket=cap)
+                                        max_hamming=3, max_bucket=cap,
+                                        bucket_audit=True)
         rows = pairs.collect()
     release_caches()
     got = {(r["id_a"], r["id_b"]) for r in rows}
@@ -86,6 +87,38 @@ def test_uncapped_path_unchanged(spark):
                   docs, "doc_id", "text", max_bucket=None).collect()}
     # 30 identical docs => all 435 pairs + the planted one
     assert len(capped) == 30 * 29 // 2 + 1
+
+
+def test_capped_construction_launches_no_audit_job(spark, monkeypatch):
+    """With the audit flag off (the default on every registered query
+    path), building an LSH operator's plan must not run the extra eager
+    bucket-size aggregate — round-3 verdict: one collect job per capped
+    call even when no bucket was hot. The dimension probe in the
+    embedding op is the single allowed eager action."""
+    import pyspark.sql.dataframe as dfmod
+
+    calls = {"n": 0}
+    orig = dfmod.DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(dfmod.DataFrame, "collect", counting_collect)
+    docs = _planted_docs(spark, n_boiler=60)
+    minhash_lsh_pairs(docs, "doc_id", "text", k=5, num_perm=16, bands=4,
+                      threshold=0.5, max_bucket=8)
+    simhash_near_duplicates(docs, "doc_id", "text", max_bucket=8)
+    assert calls["n"] == 0, "plan construction ran eager collect jobs"
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0, 0.5]) for i in range(50)],
+        "vec_id long, embedding array<float>")
+    from kwage_spark.operators.dedup import embedding_near_duplicates
+    embedding_near_duplicates(emb, max_bucket=8)
+    # the dim probe (first()) may or may not route through collect()
+    # depending on the Spark version; the audit aggregate always would
+    assert calls["n"] <= 1, "audit aggregate ran despite audit=False"
+    release_caches()
 
 
 def test_release_caches_empties_persistent_rdds(spark):
