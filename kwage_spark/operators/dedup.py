@@ -176,34 +176,86 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ------------------------------------------------------------------ simhash
+_SIMHASH_SEEDS = np.asarray([SIMHASH_SEED, SIMHASH_SEED + 1],
+                            dtype=np.uint32)
+
+
+def _hash_tokens_64(tokens: list[bytes]) -> np.ndarray:
+    """64-bit murmur of each byte string AT ITS EXACT LENGTH, batched by
+    grouping equal-length tokens into one matrix per distinct length
+    (token lengths cluster tightly, so this is a handful of kernel calls
+    per Arrow batch instead of one padded call per document).
+
+    Exact-length hashing matters for correctness, not just speed: the
+    kernel hashes the full matrix width, so the old per-document padding
+    (pad to that doc's longest token) made the SAME token hash
+    DIFFERENTLY in two docs whose longest tokens differ — near-identical
+    docs diverged to random hamming distance when one dropped its
+    longest token. A token's hash is now document-independent.
+    """
+    out = np.empty(len(tokens), dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in tokens), dtype=np.int64,
+                       count=len(tokens))
+    for L in np.unique(lens):
+        idx = np.nonzero(lens == L)[0]
+        if L == 0:
+            arr = np.zeros((idx.size, 0), dtype=np.uint8)
+        else:
+            arr = np.frombuffer(b"".join(tokens[i] for i in idx),
+                                dtype=np.uint8).reshape(idx.size, L)
+        h2 = murmur3_32_multiseed(arr, _SIMHASH_SEEDS)
+        out[idx] = ((h2[:, 0].astype(np.uint64) << np.uint64(32))
+                    | h2[:, 1].astype(np.uint64))
+    return out
+
+
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: sum of +/-1 per bit weighted by
-    token count, sign -> bit. (id, simhash bigint)."""
+    """64-bit SimHash over whitespace tokens: sum of +/-1 per bit weighted
+    by token count, sign -> bit. (id, simhash bigint).
+
+    One batched hashing pass per Arrow batch (all documents' distinct
+    tokens concatenated, grouped by byte length — see _hash_tokens_64),
+    then a per-document segmented reduction; no per-document Python loop
+    in the hash path. Weighted bit sums use the identity
+    Σw·(2b−1) = 2·Σw·b − Σw over uint8-unpacked bits, halving the
+    temp-matrix traffic vs the ±1 int64 expansion (microbenched in
+    BENCH/BASELINE.md)."""
+    from collections import Counter
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, sigs = [], []
+            ids: list = []
+            tokens: list[bytes] = []
+            weights: list[np.ndarray] = []
+            starts: list[int] = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
-                toks = pd.Series(text.split()).value_counts()
-                if toks.empty:
+                counts = Counter(text.split())
+                if not counts:
                     continue
-                # 64-bit token hash from two 32-bit lanes
-                maxlen = max(len(t) for t in toks.index)
-                arr = np.zeros((len(toks), maxlen), dtype=np.uint8)
-                for i, t in enumerate(toks.index):
-                    b = t.encode("utf-8", "surrogatepass")[:maxlen]
-                    arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-                h2 = murmur3_32_multiseed(
-                    arr, np.asarray([SIMHASH_SEED, SIMHASH_SEED + 1], dtype=np.uint32))
-                h64 = (h2[:, 0].astype(np.uint64) << np.uint64(32)) | h2[:, 1].astype(np.uint64)
-                bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                        ).astype(np.int64) * 2 - 1                     # (n_tok, 64) in {-1,+1}
-                w = toks.to_numpy(dtype=np.int64)[:, None]
-                sig_bits = (bits * w).sum(axis=0) > 0
-                sig = int(np.packbits(sig_bits[::-1]).view(">u8")[0])
+                starts.append(len(tokens))
+                tokens.extend(t.encode("utf-8", "surrogatepass")
+                              for t in counts)
+                weights.append(np.fromiter(counts.values(), dtype=np.int32,
+                                           count=len(counts)))
                 ids.append(rid)
-                sigs.append(np.int64(np.uint64(sig)).item())
-            if ids:
-                yield pd.DataFrame({id_col: ids, "simhash": sigs})
+            if not ids:
+                continue
+            h64 = _hash_tokens_64(tokens)                     # (n_tok,)
+            starts_a = np.asarray(starts)
+            w = np.concatenate(weights)
+            # bit j of each hash, LSB-first: little-endian byte view +
+            # bitorder='little' — (n_tok, 64) uint8
+            bb = np.unpackbits(h64.view(np.uint8).reshape(-1, 8),
+                               axis=1, bitorder="little")
+            seg = np.add.reduceat(bb.astype(np.int32) * w[:, None],
+                                  starts_a, axis=0)
+            tot = np.add.reduceat(w, starts_a)
+            sums = 2 * seg - tot[:, None]                     # (n_doc, 64)
+            sig_bits = sums > 0
+            packed = np.packbits(sig_bits[:, ::-1], axis=1)
+            sigs = np.ascontiguousarray(packed).view(">u8").ravel()
+            yield pd.DataFrame({id_col: ids,
+                                "simhash": sigs.astype(np.int64)})
 
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, simhash bigint")

@@ -81,6 +81,54 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
 
 
 # ------------------------------------------------------------------ simhash
+def test_simhash_matches_scalar_reference(spark):
+    """Operator output == an independent scalar recomputation (per-token
+    exact-length 64-bit murmur, weighted ±1 bit sums) — pins the batched
+    kernel's semantics."""
+    from kwage_spark.kernels.murmur3 import murmur3_32
+    from kwage_spark.operators.dedup import SIMHASH_SEED
+
+    text = "the quick brown fox jumps over the lazy dog the end"
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    got = simhash_signatures(df, "doc_id", "text").collect()[0]["simhash"]
+
+    from collections import Counter
+    counts = Counter(text.split())
+    sums = [0] * 64
+    for tok, w in counts.items():
+        b = tok.encode()
+        h = (murmur3_32(b, SIMHASH_SEED) << 32) | murmur3_32(b, SIMHASH_SEED + 1)
+        for i in range(64):
+            sums[i] += w if (h >> i) & 1 else -w
+    expect = sum(1 << i for i in range(64) if sums[i] > 0)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got == expect
+
+
+def test_simhash_token_hash_is_document_independent(spark):
+    """A token's hash must not depend on the document's longest token:
+    doc B = doc A + one long token should sit at SMALL hamming distance
+    (the old per-doc padding sent this pair to ~random distance)."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a + " supercalifragilisticexpialidocious"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(df, "doc_id", "text").collect()}
+    ham = bin((sigs[1] ^ sigs[2]) & ((1 << 64) - 1)).count("1")
+    assert ham <= 12, f"shared tokens contributed differently (hamming {ham})"
+
+
+def test_simhash_partitioning_invariant(spark, docs):
+    """Signatures are a pure per-document function — identical across
+    Arrow batch boundaries / partitionings."""
+    one = {(r["doc_id"], r["simhash"]) for r in
+           simhash_signatures(docs.coalesce(1), "doc_id", "text").collect()}
+    many = {(r["doc_id"], r["simhash"]) for r in
+            simhash_signatures(docs.repartition(13), "doc_id", "text").collect()}
+    assert one == many
+
+
 def test_simhash_near_duplicates(spark, docs):
     sigs = simhash_signatures(docs, "doc_id", "text").toPandas()
     assert sigs.doc_id.nunique() == docs.count()
