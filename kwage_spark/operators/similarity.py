@@ -10,12 +10,16 @@ against the brute-force oracle.
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import HYPERPLANE_SEED
+
+logger = logging.getLogger(__name__)
 
 
 def _cos_cols(vec_col: str, qv_col: str = "qv"):
@@ -117,6 +121,14 @@ def kmeans_centroids(df: DataFrame, vec_col: str = "embedding",
                  .select(vec_col).collect())
     if not seed_rows:
         raise ValueError("cannot cluster an empty table")
+    if len(seed_rows) < k:
+        # fewer vectors than requested clusters: clamp k so the
+        # quantizer stays well-defined; the sidecar then records the
+        # EFFECTIVE k (its row count), keeping nprobe>=k_eff the
+        # documented brute-force degenerate case
+        logger.warning(
+            "kmeans_centroids: table has %d rows < k=%d — clustering "
+            "with k=%d", len(seed_rows), k, len(seed_rows))
     cents = np.asarray([list(r[vec_col]) for r in seed_rows],
                        dtype=np.float64)
     sc = df.sparkSession.sparkContext
@@ -192,8 +204,14 @@ def ivf_topk(spark, path: str, query_vec: list[float], topk: int = 10,
     """Query a build_ivf_index layout: rank centroids driver-side (a
     k-row sidecar read), scan only the nprobe nearest inverted lists via
     a PARTITION filter, exact-cosine re-rank inside. Recall rises with
-    nprobe and hits 1.0 at nprobe=k (degenerates to brute force)."""
+    nprobe and hits 1.0 at nprobe >= the sidecar's EFFECTIVE k (its row
+    count — see kmeans_centroids clamping), where the scan degenerates
+    to brute force."""
     cents_rows = spark.read.parquet(f"{path}/_centroids").collect()
+    if not cents_rows:
+        raise ValueError(
+            f"IVF centroid sidecar at {path}/_centroids is empty or "
+            "missing — build the index with build_ivf_index first")
     cents = np.zeros((len(cents_rows), len(cents_rows[0]["cvec"])))
     for r in cents_rows:
         cents[r["centroid"]] = r["cvec"]

@@ -277,6 +277,30 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == 41
 
 
+def test_ivf_guards_empty_sidecar_and_small_table(spark, tmp_path):
+    """An empty/missing centroid sidecar raises a clear error (not
+    IndexError), and a table smaller than k clamps the quantizer so the
+    sidecar records the EFFECTIVE k — nprobe >= k_eff still degenerates
+    to brute force as documented."""
+    import pytest as _pt
+
+    from kwage_spark.operators.similarity import build_ivf_index, ivf_topk
+    (spark.createDataFrame([], "centroid int, cvec array<double>")
+     .write.parquet(str(tmp_path / "ivf0" / "_centroids")))
+    with _pt.raises(ValueError, match="sidecar"):
+        ivf_topk(spark, str(tmp_path / "ivf0"), [0.0, 1.0], topk=3)
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path / "ivf_small")
+    cents = build_ivf_index(emb, path, k=16, iters=2)
+    assert cents.shape[0] == 5  # clamped to the table size
+    assert spark.read.parquet(f"{path}/_centroids").count() == 5
+    res = ivf_topk(spark, path, [4.0, 1.0], topk=3, nprobe=5).collect()
+    assert res[0]["vec_id"] == 4  # exact answer at nprobe >= k_eff
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """The reliable-checkpoint path (setCheckpointDir + checkpoint()
     per round — survives executor loss on a real cluster, unlike
