@@ -128,6 +128,89 @@ def read_all_sketch_stores(spark: SparkSession, root: str,
     return out
 
 
+def _bucket_file_counts(spark: SparkSession, path: str) -> dict[int, int]:
+    """data-file count per ``{BUCKET_COL}=n`` partition directory."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    root = Path(path)
+    fs = root.getFileSystem(conf)
+    counts: dict[int, int] = {}
+    if not fs.exists(root):
+        return counts
+    for child in fs.listStatus(root):
+        name = child.getPath().getName()
+        if not (child.isDirectory() and name.startswith(f"{BUCKET_COL}=")):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        n = sum(1 for f in fs.listStatus(child.getPath())
+                if not f.getPath().getName().startswith(("_", ".")))
+        counts[bucket] = n
+    return counts
+
+
+def compact_sketch_store(spark: SparkSession, path: str,
+                         group_cols: list[str] | None = None,
+                         target_files_per_bucket: int = 1) -> dict:
+    """Bin-pack a store's small files after many incremental writes —
+    the A13 analog of the reference's smallest-first .db merge pass
+    (`merge_db.cpp:215-248`): every ``mode='append'`` ingest adds a file
+    wave per bucket, and a store that accrues N increments makes every
+    group lookup open N files.
+
+    Only OVER-FRAGMENTED buckets (more data files than
+    ``target_files_per_bucket``) are rewritten, via dynamic partition
+    overwrite — already-compact buckets are untouched and the call is a
+    no-op on a compact store. When ``group_cols`` is given, duplicate
+    (group…, kind) rows from incremental appends of the SAME group are
+    folded through the state merge (merge_grouped_states), so lookups
+    return one mergeable row per group again.
+
+    Returns {"buckets_compacted", "files_before", "files_after"}.
+    """
+    from ..operators.merge import merge_grouped_states
+
+    counts = _bucket_file_counts(spark, path)
+    files_before = sum(counts.values())
+    hot = sorted(b for b, n in counts.items()
+                 if n > target_files_per_bucket)
+    if not hot:
+        return {"buckets_compacted": 0, "files_before": files_before,
+                "files_after": files_before}
+
+    df = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(hot))
+    if group_cols:
+        df = merge_grouped_states(df, [*group_cols, BUCKET_COL]) \
+            if BUCKET_COL not in group_cols else merge_grouped_states(
+                df, group_cols)
+    if target_files_per_bucket <= 1:
+        packed = df.repartition(F.col(BUCKET_COL))
+    else:
+        slot = F.pmod(F.xxhash64(*[c for c in df.columns
+                                   if c != "state"][:3]),
+                      F.lit(target_files_per_bucket))
+        packed = df.repartition(F.col(BUCKET_COL), slot)
+    # cut the plan's file-source dependency so the overwrite of the path
+    # being read is legal; blocks stay on executors (only hot buckets)
+    packed = packed.localCheckpoint(eager=True)
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (packed.write.mode("overwrite").partitionBy(BUCKET_COL)
+         .parquet(path))
+    finally:
+        if old is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, old)
+    after = _bucket_file_counts(spark, path)
+    return {"buckets_compacted": len(hot),
+            "files_before": files_before,
+            "files_after": sum(after.values())}
+
+
 def read_sketch_group(spark: SparkSession, path: str, group_col: str,
                       value: str, buckets: int = 64,
                       format: str = "parquet") -> DataFrame:

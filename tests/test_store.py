@@ -88,6 +88,64 @@ def test_discover_and_union_stores(spark, tmp_path):
     assert back.count() == sk.count()
 
 
+def test_compaction_binpacks_and_preserves_results(spark, tmp_path):
+    """N incremental appends -> compaction -> same lookup results, fewer
+    files, pruning intact, and duplicate (group, kind) rows from
+    re-ingests of the same group fold through the state merge
+    (merge_db.cpp:215-248 smallest-first analog). A second compaction is
+    a no-op."""
+    from kwage_spark.sources.store import (_bucket_file_counts,
+                                           compact_sketch_store,
+                                           write_sketch_store)
+    pdf = make_source_files(n_repos=6, files_per_repo=3, seed=5)
+    sk = build_sketches(spark.createDataFrame(pdf), CFG).cache()
+    path = str(tmp_path / "store")
+    # 3 incremental waves: two disjoint repo halves + a re-ingest of one
+    # repo (creates duplicate group rows the merge must fold)
+    write_sketch_store(sk.filter(F.col("repo") < "org3"), path, "repo",
+                       buckets=4)
+    write_sketch_store(sk.filter(F.col("repo") >= "org3"), path, "repo",
+                       buckets=4, mode="append")
+    dup_repo = sorted(pdf.repo.unique())[0]
+    write_sketch_store(sk.filter(F.col("repo") == dup_repo), path, "repo",
+                       buckets=4, mode="append")
+
+    before = _bucket_file_counts(spark, path)
+    assert sum(before.values()) > len(before), "appends made no small files"
+    dup_rows = read_sketch_group(spark, path, "repo", dup_repo, buckets=4)
+    langs = {r["lang"] for r in dup_rows.collect()}
+    assert dup_rows.count() == 2 * len(langs) * len(CFG.kinds)  # duplicated
+
+    stats = compact_sketch_store(spark, path, group_cols=["repo", "lang"])
+    assert stats["buckets_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after = _bucket_file_counts(spark, path)
+    assert all(n == 1 for n in after.values()), after
+    assert set(after) == set(before), "compaction changed the bucket set"
+
+    # duplicate group rows folded to one mergeable row per (group, kind)
+    merged = read_sketch_group(spark, path, "repo", dup_repo, buckets=4)
+    assert merged.count() == len(langs) * len(CFG.kinds)
+    # a search over the compacted store equals one over a fresh build
+    # (merging a sketch with itself is idempotent for bloom/hll/cms)
+    snippet = pdf.loc[pdf.repo == dup_repo, "content"].iloc[0][:60]
+    got = containment_search(merged, [(0, snippet)], CFG,
+                             threshold=0.5).toPandas()
+    want = containment_search(
+        build_sketches(spark.createDataFrame(pdf[pdf.repo == dup_repo]),
+                       CFG), [(0, snippet)], CFG, threshold=0.5).toPandas()
+    assert got[["repo", "lang", "num_kmers_found"]].equals(
+        want[["repo", "lang", "num_kmers_found"]])
+    # pruning still plan-asserted after the rewrite
+    plan = physical_plan(merged)
+    assert any("_bucket" in ln for ln in plan.splitlines()
+               if "PartitionFilters" in ln), plan
+    # idempotent: a compact store is left alone
+    again = compact_sketch_store(spark, path, group_cols=["repo", "lang"])
+    assert again["buckets_compacted"] == 0
+    assert again["files_after"] == stats["files_after"]
+
+
 def test_icontains_function(spark):
     from kwage_spark import functions as fx
     df = spark.createDataFrame([("Hello World",), ("goodbye",), (None,)],
