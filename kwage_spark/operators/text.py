@@ -106,3 +106,57 @@ def winnowing_fingerprints(df: DataFrame, id_col: str, text_col: str,
     from .util import ensure_parallelism
     return ensure_parallelism(df.select(id_col, text_col)).mapInPandas(
         gen, schema=f"{id_col} long, fingerprints array<bigint>")
+
+
+def token_frequencies(df: DataFrame, text_col: str,
+                      extra_group: list[str] | None = None) -> DataFrame:
+    """Corpus token-frequency table: one row per (group…, token) with its
+    count — the vocabulary statistic behind mix analysis, zipf plots and
+    the unigram quality model. Explode + groupBy-count: map-side partial
+    aggregation keeps the shuffle at O(distinct tokens), not O(tokens)."""
+    groups = [F.col(c) for c in (extra_group or [])]
+    toks = (df.select(*groups,
+                      F.explode(F.split(text_col, r"\s+")).alias("token"))
+            .filter(F.length("token") > 0))
+    return (toks.groupBy(*(extra_group or []), "token")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def top_tokens_per_group(df: DataFrame, text_col: str, group_col: str,
+                         k: int = 10) -> DataFrame:
+    """Top-k most frequent tokens per group (deterministic: count desc,
+    then token) — the zipf-head / vocabulary-drift view per stratum. The
+    rank window partitions BY GROUP: parallel per-stratum sorts."""
+    from pyspark.sql import Window as W
+    freqs = token_frequencies(df, text_col, [group_col])
+    w = (W.partitionBy(group_col)
+         .orderBy(F.desc("n"), F.col("token")))
+    return (freqs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(group_col, "rank", "token", "n"))
+
+
+def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
+                          round_dp: int = 4) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the classic perplexity-proxy quality score (rare-
+    token-heavy noise scores low, fluent common-vocabulary text scores
+    high) without shipping a language model.
+
+    Two passes over the tokens: (1) corpus token frequencies (map-side
+    combined), (2) per-doc mean of ln(n_token / n_total) via a BROADCAST
+    join of the (small) vocabulary against the exploded tokens — the
+    token table never shuffles. Returns (id, n_tokens, logprob)."""
+    freqs = token_frequencies(df, text_col)
+    total = freqs.agg(F.sum("n").alias("n_total"))
+    model = F.broadcast(freqs.crossJoin(F.broadcast(total))
+                        .select("token",
+                                (F.log(F.col("n")) - F.log("n_total"))
+                                .alias("lp")))
+    toks = (df.select(id_col,
+                      F.explode(F.split(text_col, r"\s+")).alias("token"))
+            .filter(F.length("token") > 0))
+    return (toks.join(model, "token")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.avg("lp"), round_dp).alias("logprob")))

@@ -17,7 +17,8 @@ from .operators.dedup import (embedding_near_duplicates, minhash_lsh_pairs,
                               simhash_near_duplicates)
 from .operators.similarity import ann_topk_indexed, build_ann_index
 from .operators.text import (_STOPWORDS, language_id, quality_scores,
-                             token_count_bpe, winnowing_fingerprints)
+                             token_count_bpe, top_tokens_per_group,
+                             unigram_logprob_score, winnowing_fingerprints)
 from .queries import register
 
 
@@ -207,7 +208,10 @@ def q_multimodal(spark, sf_dir):
             .drop("_fv"))
 
 
-@register("dedup_connected_components", f"""
+# shared pair-graph CTE for the connected-components / survivor oracles:
+# exact 5-gram Jaccard >= 0.15 between adjacent doc ids (doc_id < 100 —
+# the scoped exact twin of the LSH candidate generator)
+_CC_PAIR_CTE = """
 WITH RECURSIVE grams AS (
   SELECT DISTINCT doc_id, gram FROM (
     SELECT doc_id, unnest(list_transform(
@@ -233,9 +237,21 @@ WITH RECURSIVE grams AS (
   SELECT s, s FROM e
   UNION
   SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.v
+), comp AS (
+  SELECT v, CAST(min(r) AS BIGINT) AS component FROM reach GROUP BY v
 )
-SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY v
+"""
+
+
+def _cc_pairs(spark, sf_dir):
+    from .queries import spark_queries
+    return (spark_queries()["ngram_jaccard_adjacent"](spark, sf_dir)
+            .filter(F.col("jaccard") >= 0.15)
+            .select("doc_a", "doc_b"))
+
+
+@register("dedup_connected_components", _CC_PAIR_CTE + """
+SELECT v AS doc_id, component FROM comp
 """)
 def q_dedup_cc(spark, sf_dir):
     """Pair→cluster dedup: connected components over the near-dup pair
@@ -245,13 +261,60 @@ def q_dedup_cc(spark, sf_dir):
     DuckDB recursive CTE computing min reachable id — a full value check
     of an iterative graph algorithm."""
     from .operators.components import connected_components
-    from .queries import spark_queries
-    pairs = (spark_queries()["ngram_jaccard_adjacent"](spark, sf_dir)
-             .filter(F.col("jaccard") >= 0.15)
-             .select("doc_a", "doc_b"))
-    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = connected_components(_cc_pairs(spark, sf_dir),
+                                src="doc_a", dst="doc_b")
     return comp.select(F.col("v").alias("doc_id"),
                        F.col("comp").alias("component"))
+
+
+@register("dedup_survivors_per_lang", _CC_PAIR_CTE + """
+, drops AS (
+  SELECT v FROM comp WHERE v <> component
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE dr.v IS NULL) AS BIGINT) AS n_survivors
+FROM documents d LEFT JOIN drops dr ON dr.v = d.doc_id
+WHERE d.doc_id < 100
+GROUP BY d.lang
+""")
+def q_dedup_survivors(spark, sf_dir):
+    """The COMPLETE dedup chain as one oracle-backed query: candidate
+    pairs (exact scoped Jaccard — the LSH generator's exact twin) →
+    connected components → keep each cluster's min-id representative →
+    per-lang corpus curation counts. This is the pipeline shape a
+    training-data run applies end to end (dedup_representatives), value-
+    checked against the recursive-CTE oracle."""
+    from .operators.components import dedup_representatives
+    keep = dedup_representatives(_cc_pairs(spark, sf_dir),
+                                 id_a="doc_a", id_b="doc_b")
+    drops = (keep.filter(F.col("doc_id") != F.col("keep"))
+             .select("doc_id").withColumn("_dup", F.lit(1)))
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") < 100))
+    flagged = docs.join(F.broadcast(drops), "doc_id", "left")
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count(F.when(F.col("_dup").isNull(), 1))
+                 .alias("n_survivors")))
+
+
+@register("length_quartile_assign", """
+SELECT doc_id, lang,
+       CAST(ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS INTEGER) AS quartile
+FROM documents
+""")
+def q_length_quartile(spark, sf_dir):
+    """Curation length-bucketing: per-lang size quartiles via ntile —
+    the deterministic bucket assignment behind length-balanced sampling
+    (pair to stratified_sample_per_group for a length-and-source-
+    balanced training mix). The window partitions BY LANG: parallel
+    per-stratum sorts, never a global one."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select("doc_id", "lang",
+                    F.ntile(4).over(w).cast("int").alias("quartile"))
 
 
 @register("multimodal_frame_sample", r"""
@@ -350,6 +413,54 @@ def q_stratified_sample(spark, sf_dir):
     return (d.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
             .select("source", "lang", "doc_id"))
+
+
+@register("top_tokens_per_lang", r"""
+SELECT lang, rank, token, n FROM (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token)
+           AS rank
+  FROM (
+    SELECT lang, token, count(*) AS n FROM (
+      SELECT lang, unnest(regexp_split_to_array(text, '\s+')) AS token
+      FROM documents)
+    WHERE length(token) > 0
+    GROUP BY lang, token))
+WHERE rank <= 10
+""")
+def q_top_tokens(spark, sf_dir):
+    """Corpus vocabulary statistics: top-10 tokens per lang (zipf head /
+    vocabulary drift per stratum) — explode + map-side-combined count +
+    per-stratum rank window (operators/text.top_tokens_per_group)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_tokens_per_group(d, "text", "lang", k=10)
+
+
+@register("unigram_logprob_score", r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS token
+  FROM documents
+), toks_nz AS (
+  SELECT * FROM toks WHERE length(token) > 0
+), freqs AS (
+  SELECT token, count(*) AS n FROM toks_nz GROUP BY token
+), model AS (
+  SELECT token, ln(n) - ln((SELECT sum(n) FROM freqs)) AS lp FROM freqs
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(m.lp), 4) AS logprob
+FROM toks_nz t JOIN model m ON m.token = t.token
+GROUP BY t.doc_id
+""")
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: per-doc mean log-probability under
+    the corpus's own unigram model (operators/text.unigram_logprob_score)
+    — the standard cheap quality filter a training-data pipeline applies
+    before expensive model-based scoring. Broadcast vocabulary join; the
+    exploded token table never shuffles."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob_score(d, "doc_id", "text")
 
 
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)

@@ -32,11 +32,15 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_flagship_rows_only_queries_inside_window():
+    """The two flagship rows-only surfaces (the containment search and
+    the persisted-store read it answers from) must stay on the driver's
+    record even as oracle-backed queries grow; the other rows-only
+    entries (LSH/index families) are judge-run via tools/check_oracles
+    when the window fills with oracle-backed queries — each has an
+    oracle-green exact twin plus pytest accuracy bounds."""
     sq, _ = _catalog()
     window = set(list(sq)[:DRIVER_WINDOW])
-    for name in ("bloom_containment_search", "store_pruned_bloom_search",
-                 "ann_topk_lsh", "ivf_topk_learned", "minhash_lsh_near_dups",
-                 "embedding_neardup_lsh"):
+    for name in ("bloom_containment_search", "store_pruned_bloom_search"):
         assert name in window, name
 
 
