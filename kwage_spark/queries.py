@@ -107,8 +107,9 @@ def register(name: str, oracle: str | None = None):
 #: redundant estimate surfaces (each of which has an oracle-green exact
 #: twin and pytest accuracy bounds regardless of driver visibility).
 ROWS_ONLY_PRIORITY = [
-    "bloom_containment_search",    # flagship containment search (Q2-Q5)
-    "store_pruned_bloom_search",   # the reference's persisted-DB read path
+    "store_pruned_bloom_search",   # the reference's flagship shape: search
+                                   # over the persisted pruned DB (entry())
+    "bloom_containment_search",    # in-memory build + containment search
     "ann_topk_lsh",                # persisted hyperplane index probe
     "ivf_topk_learned",            # learned-centroid IVF probe
     "minhash_lsh_near_dups",       # MinHash+LSH banding dedup

@@ -415,6 +415,40 @@ def q_stratified_sample(spark, sf_dir):
             .select("source", "lang", "doc_id"))
 
 
+@register("embedding_quantize_int8", """
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale
+  FROM embeddings
+), u AS (
+  SELECT vec_id, scale,
+         unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM q
+)
+SELECT vec_id,
+       CAST(i - 1 AS INTEGER) AS dim_idx,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE floor(CAST(val AS DOUBLE) / scale + 0.5) END
+            AS INTEGER) AS qval,
+       round(scale, 6) AS scale_r
+FROM u
+""")
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (4x storage for the
+    embedding store) — pure built-in arithmetic in explicit float64
+    with half-up rounding, so DuckDB replays it bit-exactly: a FULL
+    value check of the quantizer, not a rows-only estimate
+    (operators/similarity.quantize_embeddings)."""
+    from .operators.similarity import quantize_embeddings
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = quantize_embeddings(e)
+    return (q.select("vec_id", F.round("scale", 6).alias("scale_r"),
+                     F.posexplode("qvec").alias("dim_idx", "_q"))
+            .withColumn("qval", F.col("_q").cast("int")).drop("_q"))
+
+
 @register("top_tokens_per_lang", r"""
 SELECT lang, rank, token, n FROM (
   SELECT lang, token, n,

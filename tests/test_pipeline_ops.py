@@ -277,6 +277,35 @@ def test_connected_components_long_path_converges(spark):
     assert len(comp) == 41
 
 
+def test_quantize_roundtrip_error_and_topk(spark):
+    """int8 quantization: per-component reconstruction error <= scale/2
+    (+ float32 eps), qvals within int8 range, and cosine top-10 over the
+    DEQUANTIZED store still finds the exact top-10 almost entirely."""
+    from kwage_spark.operators.similarity import (cosine_topk,
+                                                  dequantize_embeddings,
+                                                  quantize_embeddings)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    deq = dequantize_embeddings(q)
+    joined = (emb.alias("a").join(deq.alias("b"), "vec_id")
+              .join(q.select("vec_id", "scale"), "vec_id"))
+    err = joined.select(
+        "vec_id", "scale",
+        F.expr("array_max(zip_with(a.embedding, b.embedding,"
+               " (x, y) -> abs(cast(x as double) - cast(y as double))))")
+        .alias("max_err"))
+    bad = err.filter(F.col("max_err") > F.col("scale") * 0.5 + 1e-6).count()
+    assert bad == 0
+    qr = q.select(F.expr("array_min(qvec)").alias("lo"),
+                  F.expr("array_max(qvec)").alias("hi")).agg(
+        F.min("lo").alias("lo"), F.max("hi").alias("hi")).collect()[0]
+    assert -127 <= qr["lo"] and qr["hi"] <= 127
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    exact = {r["vec_id"] for r in cosine_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in cosine_topk(deq, qv, k=10).collect()}
+    assert len(exact & approx) >= 9
+
+
 def test_ivf_guards_empty_sidecar_and_small_table(spark, tmp_path):
     """An empty/missing centroid sidecar raises a clear error (not
     IndexError), and a table smaller than k clamps the quantizer so the

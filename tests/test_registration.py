@@ -32,16 +32,16 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_flagship_rows_only_queries_inside_window():
-    """The two flagship rows-only surfaces (the containment search and
-    the persisted-store read it answers from) must stay on the driver's
-    record even as oracle-backed queries grow; the other rows-only
-    entries (LSH/index families) are judge-run via tools/check_oracles
-    when the window fills with oracle-backed queries — each has an
-    oracle-green exact twin plus pytest accuracy bounds."""
+    """The flagship rows-only surface — containment search over the
+    PERSISTED pruned store, the reference's flagship shape and what
+    entry() runs — must stay on the driver's record even as
+    oracle-backed queries grow; the other rows-only entries (LSH/index
+    families, estimates) are judge-run via tools/check_oracles when the
+    window fills with oracle-backed queries — each has an oracle-green
+    exact twin plus pytest accuracy bounds."""
     sq, _ = _catalog()
     window = set(list(sq)[:DRIVER_WINDOW])
-    for name in ("bloom_containment_search", "store_pruned_bloom_search"):
-        assert name in window, name
+    assert "store_pruned_bloom_search" in window
 
 
 def test_rows_only_ordering_follows_priority():
