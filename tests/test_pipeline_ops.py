@@ -306,6 +306,32 @@ def test_quantize_roundtrip_error_and_topk(spark):
     assert len(exact & approx) >= 9
 
 
+def test_quantize_edge_battery(spark):
+    """Edge vectors: all-zero (scale 0 -> zero qvec, no div-by-zero),
+    constant, negative, tiny and large magnitudes — qvals stay in
+    [-127, 127] and reconstruction error <= scale/2 everywhere."""
+    from kwage_spark.operators.similarity import quantize_embeddings
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [5.0, 5.0, 5.0, 5.0]),
+        (2, [-1.0, 1.0, -0.5, 0.25]),
+        (3, [1e-6, -1e-6, 5e-7, 0.0]),
+        (4, [3.4e38, -3.4e38, 1.0, 0.0]),
+        (5, [-127.0, 127.0, 63.5, -63.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[0]["scale"] == 0.0 and rows[0]["qvec"] == [0, 0, 0, 0]
+    for vid, vec in vecs:
+        r = rows[vid]
+        assert all(-127 <= q <= 127 for q in r["qvec"]), (vid, r["qvec"])
+        for x, q in zip(vec, r["qvec"]):
+            assert abs(float(np.float32(x)) - q * r["scale"]) \
+                <= r["scale"] / 2 + 1e-9 * abs(x), (vid, x, q)
+    assert rows[1]["qvec"] == [127, 127, 127, 127]
+    assert rows[5]["qvec"][:2] == [-127, 127]
+
+
 def test_ivf_guards_empty_sidecar_and_small_table(spark, tmp_path):
     """An empty/missing centroid sidecar raises a clear error (not
     IndexError), and a table smaller than k clamps the quantizer so the
