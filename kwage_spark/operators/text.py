@@ -160,3 +160,48 @@ def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.round(F.avg("lp"), round_dp).alias("logprob")))
+
+
+def frequent_tokens_mg(df: DataFrame, text_col: str, k: int = 64) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters over whitespace tokens —
+    the frequent-items sketch (kernels/mg.py) run as a two-level
+    mergeable aggregate: one bounded MG summary per input partition
+    (tokens never shuffle; each partial is ≤ k counters), then one tiny
+    state merge, with candidates emitted EXECUTOR-side.
+
+    Returns (token, est_count, max_err): true count ∈
+    [est_count, est_count + max_err], and every token with true count
+    > n_total/(k+1) is guaranteed present. Exact twin on the driver
+    scorecard: top_tokens_per_lang (oracle-green).
+    """
+    from collections import Counter
+
+    from ..kernels.mg import MGState
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = MGState(k)
+        for pdf in batches:
+            cnt: Counter = Counter()
+            for text in pdf[text_col]:
+                cnt.update(text.split())
+            if cnt:
+                st.add_items([t.encode("utf-8") for t in cnt],
+                             np.fromiter(cnt.values(), dtype=np.int64,
+                                         count=len(cnt)))
+        yield pd.DataFrame({"state": [st.to_bytes()]})
+
+    parts = df.select(text_col).mapInPandas(partials, schema="state binary")
+
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = MGState(k)
+        for blob in pdf["state"]:
+            st.merge(MGState.from_bytes(bytes(blob)))
+        ests = st.estimates()
+        return pd.DataFrame({
+            "token": [it.decode("utf-8") for it, _v, _e in ests],
+            "est_count": [v for _it, v, _e in ests],
+            "max_err": [e for _it, _v, e in ests]})
+
+    return (parts.groupBy(F.lit(1).alias("_g"))
+            .applyInPandas(lambda _key, pdf: final(pdf),
+                           schema="token string, est_count long, max_err long"))

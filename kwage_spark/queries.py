@@ -119,6 +119,7 @@ ROWS_ONLY_PRIORITY = [
     "cms_token_frequencies",       # A2 estimate (twin: token_having_mincount)
     "size_quantile_sketches",      # A16 KLL+t-digest (twin: quantiles_exact)
     "bloom_fp_audit",              # FP-bound conformance surface
+    "frequent_tokens_sketch",      # MG heavy hitters (twin: top_tokens_per_lang)
     "winnowing_fingerprints_sample",
 ]
 

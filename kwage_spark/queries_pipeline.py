@@ -497,6 +497,18 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(d, "doc_id", "text")
 
 
+@register("frequent_tokens_sketch")  # rows-only (bounded-counter sketch;
+def q_frequent_tokens(spark, sf_dir):  # exact twin: top_tokens_per_lang)
+    """Misra-Gries heavy hitters as a two-level mergeable aggregate —
+    tokens never shuffle, every partial is <= k counters, candidates
+    emitted executor-side; guarantees pytest-asserted vs exact counts
+    (tests/test_mg.py)."""
+    from .operators.text import frequent_tokens_mg
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (frequent_tokens_mg(d, "text", k=48)
+            .orderBy(F.desc("est_count"), "token"))
+
+
 @register("winnowing_fingerprints_sample")  # rows-only (murmur-based)
 def q_winnowing(spark, sf_dir):
     """Scalar rows (doc_id, fingerprint) — exploded for the same
