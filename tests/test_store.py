@@ -146,6 +146,45 @@ def test_compaction_binpacks_and_preserves_results(spark, tmp_path):
     assert again["files_after"] == stats["files_after"]
 
 
+def test_group_delta_upsert_via_append_and_compact(spark, tmp_path):
+    """The store's UPSERT path for a growing group: build states for the
+    group's NEW files only, append, compact — the duplicate-group merge
+    folds delta + base into states BYTE-IDENTICAL to a full rebuild over
+    all files (bloom OR / hll max / cms add are associative over
+    disjoint file sets; KLL is order-dependent so its counters are
+    compared instead)."""
+    from kwage_spark.sources.store import (compact_sketch_store,
+                                           write_sketch_store)
+    pdf = make_source_files(n_repos=3, files_per_repo=6, seed=9)
+    repo = sorted(pdf.repo.unique())[0]
+    grp = pdf[pdf.repo == repo].reset_index(drop=True)
+    old = pdf[(pdf.repo != repo) | (pdf.path.isin(grp.path[:3]))]
+    delta = grp[~grp.path.isin(grp.path[:3])]
+
+    path = str(tmp_path / "store")
+    write_sketch_store(build_sketches(spark.createDataFrame(old), CFG),
+                       path, "repo", buckets=4)
+    write_sketch_store(build_sketches(spark.createDataFrame(delta), CFG),
+                       path, "repo", buckets=4, mode="append")
+    compact_sketch_store(spark, path, group_cols=["repo", "lang"])
+
+    got = (read_sketch_group(spark, path, "repo", repo, buckets=4)
+           .select("lang", "kind", "n_rows", "n_kgrams", "state")
+           .collect())
+    want = (build_sketches(spark.createDataFrame(grp), CFG)
+            .filter(F.col("repo") == repo)
+            .select("lang", "kind", "n_rows", "n_kgrams", "state")
+            .collect())
+    gmap = {(r["lang"], r["kind"]): r for r in got}
+    wmap = {(r["lang"], r["kind"]): r for r in want}
+    assert set(gmap) == set(wmap)
+    for key, w in wmap.items():
+        g = gmap[key]
+        assert (g["n_rows"], g["n_kgrams"]) == (w["n_rows"], w["n_kgrams"]), key
+        if key[1] != "kll":  # KLL compaction is order-dependent
+            assert bytes(g["state"]) == bytes(w["state"]), key
+
+
 def test_icontains_function(spark):
     from kwage_spark import functions as fx
     df = spark.createDataFrame([("Hello World",), ("goodbye",), (None,)],
