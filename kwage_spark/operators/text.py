@@ -205,3 +205,77 @@ def frequent_tokens_mg(df: DataFrame, text_col: str, k: int = 64) -> DataFrame:
     return (parts.groupBy(F.lit(1).alias("_g"))
             .applyInPandas(lambda _key, pdf: final(pdf),
                            schema="token string, est_count long, max_err long"))
+
+
+def kmv_token_sketches(df: DataFrame, text_col: str, group_col: str,
+                       k: int = 256) -> DataFrame:
+    """Per-group KMV (bottom-k) sketch over distinct whitespace tokens:
+    (group, state binary, est_distinct double). Two-level mergeable
+    aggregate — per-batch partials (each ≤ k hashes), grouped state
+    merge — and because KMV state is a pure function of the token SET,
+    the merged state is byte-identical under ANY partitioning."""
+    from ..kernels.kmv import KMVState, hash_items
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            states: dict = {}
+            for g, text in zip(pdf[group_col], pdf[text_col]):
+                toks = {t for t in text.split() if t}
+                if not toks:
+                    continue
+                st = states.setdefault(g, KMVState(k))
+                st.add_hashes(hash_items([t.encode("utf-8")
+                                          for t in toks]))
+            if states:
+                yield pd.DataFrame({group_col: list(states),
+                                    "state": [s.to_bytes()
+                                              for s in states.values()]})
+
+    parts = df.select(group_col, text_col).mapInPandas(
+        partials, schema=f"{group_col} string, state binary")
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = KMVState(k)
+        for blob in pdf["state"]:
+            st.merge(KMVState.from_bytes(bytes(blob)))
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
+                             "state": [st.to_bytes()],
+                             "est_distinct": [st.distinct_estimate()]})
+
+    return (parts.groupBy(group_col)
+            .applyInPandas(lambda _key, pdf: merge(pdf),
+                           schema=f"{group_col} string, state binary, "
+                                  "est_distinct double"))
+
+
+def kmv_group_overlap(sketches: DataFrame, group_col: str) -> DataFrame:
+    """Pairwise set-overlap estimates between groups from their KMV
+    states: (group_a, group_b, jaccard_est, intersection_est) for
+    group_a < group_b — the corpus/audience-overlap primitive, computed
+    from O(k) bytes per group instead of re-scanning tokens."""
+    from ..kernels.kmv import KMVState
+
+    a = sketches.select(F.col(group_col).alias("group_a"),
+                        F.col("state").alias("_sa"))
+    b = sketches.select(F.col(group_col).alias("group_b"),
+                        F.col("state").alias("_sb"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"group_a": [], "group_b": [], "jaccard_est": [],
+                   "intersection_est": []}
+            for ga, gb, sa, sb in zip(pdf["group_a"], pdf["group_b"],
+                                      pdf["_sa"], pdf["_sb"]):
+                ka = KMVState.from_bytes(bytes(sa))
+                kb = KMVState.from_bytes(bytes(sb))
+                out["group_a"].append(ga)
+                out["group_b"].append(gb)
+                out["jaccard_est"].append(KMVState.jaccard(ka, kb))
+                out["intersection_est"].append(
+                    KMVState.intersection_estimate(ka, kb))
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(
+        score, schema="group_a string, group_b string, "
+                      "jaccard_est double, intersection_est double")

@@ -120,6 +120,7 @@ ROWS_ONLY_PRIORITY = [
     "size_quantile_sketches",      # A16 KLL+t-digest (twin: quantiles_exact)
     "bloom_fp_audit",              # FP-bound conformance surface
     "frequent_tokens_sketch",      # MG heavy hitters (twin: top_tokens_per_lang)
+    "kmv_lang_overlap",            # KMV set-overlap estimates
     "winnowing_fingerprints_sample",
 ]
 

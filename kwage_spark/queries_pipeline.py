@@ -497,6 +497,24 @@ def q_unigram_logprob(spark, sf_dir):
     return unigram_logprob_score(d, "doc_id", "text")
 
 
+@register("kmv_lang_overlap")  # rows-only (KMV estimates; exact-twin
+def q_kmv_overlap(spark, sf_dir):  # distinct counts: top_tokens/distinct_count_exact family)
+    """Per-lang KMV bottom-k token sketches -> pairwise vocabulary
+    overlap (jaccard + intersection estimates from O(k) bytes per
+    group). KMV state is a pure function of the token SET, so this
+    output is deterministic under any partitioning (unlike HLL, whose
+    registers depend on nothing else but whose state the driver can't
+    hash-match); accuracy pytest-asserted in tests/test_kmv.py."""
+    from .operators.text import kmv_group_overlap, kmv_token_sketches
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = kmv_token_sketches(d, "text", "lang", k=256)
+    return (kmv_group_overlap(sk, "lang")
+            .select("group_a", "group_b",
+                    F.round("jaccard_est", 5).alias("jaccard_est"),
+                    F.round("intersection_est", 2).alias("intersection_est"))
+            .orderBy("group_a", "group_b"))
+
+
 @register("frequent_tokens_sketch")  # rows-only (bounded-counter sketch;
 def q_frequent_tokens(spark, sf_dir):  # exact twin: top_tokens_per_lang)
     """Misra-Gries heavy hitters as a two-level mergeable aggregate —
