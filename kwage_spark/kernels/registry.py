@@ -8,6 +8,8 @@ from .bloom import BloomState
 from .cms import CMSState
 from .hll import HLLState
 from .kll import KLLState
+from .kmv import KMVState
+from .mg import MGState
 from .tdigest import TDigestState
 
 _BY_MAGIC = {
@@ -16,10 +18,13 @@ _BY_MAGIC = {
     0x4B57434D: CMSState,
     0x4B574B4C: KLLState,
     0x4B574454: TDigestState,
+    0x4B574D47: MGState,
+    0x4B574B56: KMVState,
 }
 
 _BY_KIND = {"bloom": BloomState, "hll": HLLState, "cms": CMSState,
-            "kll": KLLState, "tdigest": TDigestState}
+            "kll": KLLState, "tdigest": TDigestState, "mg": MGState,
+            "kmv": KMVState}
 
 
 def state_from_bytes(data: bytes):
