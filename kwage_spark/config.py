@@ -16,8 +16,10 @@ KIND_HLL = "hll"
 KIND_CMS = "cms"
 KIND_KLL = "kll"
 KIND_TDIGEST = "tdigest"
-# default build set; tdigest is opt-in (same role as KLL with better
-# tail accuracy — request it via kinds=(..., "tdigest"))
+KIND_KMV = "kmv"
+# default build set; tdigest (tail-accurate quantiles) and kmv (bottom-k
+# distinct sample enabling set-operation estimates between groups) are
+# opt-in — request via kinds=(..., "tdigest") / (..., "kmv")
 ALL_KINDS = (KIND_BLOOM, KIND_HLL, KIND_CMS, KIND_KLL)
 
 
@@ -46,6 +48,7 @@ class SketchConfig:
     cms_depth: int = 4
     kll_k: int = 200
     tdigest_delta: int = 100
+    kmv_k: int = 256
 
     @property
     def k(self) -> int:

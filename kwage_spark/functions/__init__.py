@@ -50,6 +50,18 @@ def hll_estimate(state: Column | str) -> Column:
     return _est(state)
 
 
+def kmv_estimate(state: Column | str) -> Column:
+    """Distinct-count estimate of a KMV state column — double. Exact
+    below the sketch capacity, (k-1)/U(k) beyond it."""
+    from ..kernels.kmv import KMVState
+
+    @F.pandas_udf("double")
+    def _est(s: pd.Series) -> pd.Series:
+        return pd.Series([KMVState.from_bytes(bytes(b)).distinct_estimate()
+                          for b in s], dtype="float64")
+    return _est(state)
+
+
 def cms_query(state: Column | str, probe: Column | str, k: int = 8) -> Column:
     """Count-min point estimate of ``probe``'s k-gram window in each CMS
     state (A2). The probe string is truncated/zero-padded to k bytes —

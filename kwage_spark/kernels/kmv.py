@@ -33,7 +33,11 @@ from .murmur3 import murmur3_64
 
 _MAGIC = 0x4B574B56  # "KWKV"
 _HDR = struct.Struct("<III")  # magic, k, n_hashes
-_KMV_SEED_HI, _KMV_SEED_LO = 0x4B4D, 0x5631  # disjoint from other families
+# hash = murmur32(seed 0) << 32 | murmur32(seed 1) — the SAME two lanes
+# the ingest path's shared hash matrix carries (and HLL composes), so a
+# KMV state built from hash_items and one built from add_hash_lanes
+# agree on identical byte strings
+_SEED_HI, _SEED_LO = 0, 1
 
 
 def hash_items(items: list[bytes]) -> np.ndarray:
@@ -47,7 +51,7 @@ def hash_items(items: list[bytes]) -> np.ndarray:
         arr = (np.zeros((idx.size, 0), dtype=np.uint8) if L == 0 else
                np.frombuffer(b"".join(items[i] for i in idx),
                              dtype=np.uint8).reshape(idx.size, L))
-        out[idx] = murmur3_64(arr, _KMV_SEED_HI, _KMV_SEED_LO)
+        out[idx] = murmur3_64(arr, _SEED_HI, _SEED_LO)
     return out
 
 
@@ -67,6 +71,14 @@ class KMVState:
         self.hashes = np.unique(
             np.concatenate([self.hashes, h.astype(np.uint64)]))[: self.k]
         return self
+
+    def add_hash_lanes(self, H: np.ndarray) -> "KMVState":
+        """Ingest-path feed: compose lanes 0 and 1 of the shared
+        (n, lanes) uint32 hash matrix into the 64-bit item hash —
+        identical to hash_items on the same byte strings."""
+        h64 = ((H[:, 0].astype(np.uint64) << np.uint64(32))
+               | H[:, 1].astype(np.uint64))
+        return self.add_hashes(h64)
 
     def merge(self, other: "KMVState") -> "KMVState":
         if other.k != self.k:

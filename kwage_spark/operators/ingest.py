@@ -46,11 +46,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..config import (KIND_BLOOM, KIND_CMS, KIND_HLL, KIND_KLL,
-                      KIND_TDIGEST, SketchConfig)
+                      KIND_KMV, KIND_TDIGEST, SketchConfig)
 from ..kernels.bloom import BloomParams, BloomState
 from ..kernels.cms import CMSState
 from ..kernels.hll import HLLState
 from ..kernels.kll import KLLState
+from ..kernels.kmv import KMVState
 from ..kernels.tdigest import TDigestState
 from ..kernels import _native
 from ..kernels.murmur3 import murmur3_32_sliding
@@ -69,6 +70,8 @@ def _new_states(cfg: SketchConfig) -> dict[str, object]:
         states[KIND_KLL] = KLLState(cfg.kll_k)
     if KIND_TDIGEST in cfg.kinds:
         states[KIND_TDIGEST] = TDigestState(cfg.tdigest_delta)
+    if KIND_KMV in cfg.kinds:
+        states[KIND_KMV] = KMVState(cfg.kmv_k)
     return states
 
 
@@ -83,6 +86,8 @@ def _hash_lanes(cfg: SketchConfig) -> int:
         lanes = max(lanes, cfg.cms_depth)
     if KIND_HLL in cfg.kinds:
         lanes = max(lanes, 2)
+    if KIND_KMV in cfg.kinds:
+        lanes = max(lanes, 2)  # composes lanes 0,1 like HLL
     return lanes
 
 
@@ -95,6 +100,8 @@ def _feed_hashes(states: dict[str, object], cfg: SketchConfig,
         states[KIND_HLL].add_hash_lanes(H)
     if KIND_CMS in states:
         states[KIND_CMS].add_hashes(H)
+    if KIND_KMV in states:
+        states[KIND_KMV].add_hash_lanes(H)
 
 
 def _feed_group_ranges(states: dict[str, object], cfg: SketchConfig,
@@ -270,6 +277,8 @@ def state_bytes_per_group(cfg: SketchConfig) -> int:
         total += cfg.kll_k * 8 * 3 + 24
     if KIND_TDIGEST in cfg.kinds:
         total += cfg.tdigest_delta * 16 * 2 + 24
+    if KIND_KMV in cfg.kinds:
+        total += cfg.kmv_k * 8 + 16
     return total
 
 

@@ -64,6 +64,44 @@ def test_kmv_serialization_roundtrip_and_crc():
         KMVState.from_bytes(bad)
 
 
+def test_kmv_ingest_kind_and_combine_parity(spark):
+    """KMV as a first-class kinds= option in build_sketches: per-group
+    distinct-k-gram estimates within bound of the exact count, and the
+    partial vs raw combine paths produce BYTE-IDENTICAL states (KMV is a
+    pure set function — byte-stable under any partitioning, like
+    bloom/hll/cms)."""
+    from pyspark.sql import functions as F
+
+    from kwage_spark import functions as fx
+    from kwage_spark.config import SketchConfig
+    from kwage_spark.kernels.bloom import BloomParams
+    from kwage_spark.operators.ingest import build_sketches
+    from kwage_spark.queries import shingle_rel
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg = SketchConfig(group_cols=("source", "lang"), content_col="text",
+                       kinds=("kmv",), kmv_k=512,
+                       bloom=BloomParams(k=8, log2_m=12, num_hash=2))
+    sk = build_sketches(docs, cfg)
+    got = {(r["source"], r["lang"]): r["est"] for r in
+           sk.select("source", "lang",
+                     fx.kmv_estimate("state").alias("est")).collect()}
+    exact = {(r["source"], r["lang"]): r["n"] for r in
+             (shingle_rel(docs, ["source", "lang"], "text", 8)
+              .groupBy("source", "lang")
+              .agg(F.countDistinct("gram").alias("n"))).collect()}
+    assert set(got) == set(exact)
+    for key, est in got.items():
+        assert abs(est - exact[key]) / exact[key] < 0.2, (key, est, exact[key])
+
+    def blobs(df):
+        return sorted((r["source"], r["lang"], bytes(r["state"]))
+                      for r in df.collect())
+    partial = build_sketches(docs, cfg, combine="partial")
+    raw = build_sketches(docs, cfg, combine="raw")
+    assert blobs(partial) == blobs(raw)
+
+
 def test_kmv_operator_matches_exact_distinct(spark):
     from pyspark.sql import functions as F
 
