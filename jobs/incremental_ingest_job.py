@@ -11,7 +11,9 @@ idempotent Spark job:
      a crash between phases leaves an incomplete manifest row, and the
      next run redoes exactly those groups;
   3. write_sketch_store — append the fresh groups into the hash-bucketed
-     store (partition-pruned group lookups);
+     store; "fresh" = checkpoint states anti-joined against the store's
+     OWN (group, kind) keys, so a crash between checkpoint and append is
+     healed on the next run (see run() docstring);
   4. compact_sketch_store — bin-pack the small files the append created
      and fold any duplicate group rows (merge_db smallest-first analog);
   5. a pruned containment search against the store verifies the written
@@ -56,22 +58,20 @@ def run(spark: SparkSession, input_path: str, checkpoint: str, store: str,
         cfg: SketchConfig = DEFAULT_CFG, group_col: str = "source",
         buckets: int = 16, verify_group: str | None = None,
         verify_snippet: str | None = None) -> dict:
-    """One incremental ingest round; returns the counters main() prints."""
-    from kwage_spark.operators.checkpoint import (completed_groups,
-                                                  read_checkpoint)
+    """One incremental ingest round; returns the counters main() prints.
+
+    The store append is SELF-HEALING: freshness is derived by anti-joining
+    the checkpoint states against the (group…, kind) keys ACTUALLY present
+    in the store — never against the prior manifest. The manifest is
+    written complete BEFORE the store append, so a crash in that window
+    leaves groups checkpointed-but-unstored; keying off the store itself
+    means the next run sees them missing and appends them (keying off the
+    manifest would silently drop them forever). A completed group already
+    in the store is never re-appended, so the compaction merge never
+    double-counts its counters/CMS/KLL mass."""
     gcols = list(cfg.group_cols)
     files = spark.read.parquet(input_path)
     n_input_groups = files.select(*gcols).distinct().count()
-
-    # groups already complete BEFORE this round — only groups beyond this
-    # set may append to the store (a completed group is immutable, so
-    # appending the full state table would duplicate its rows and double
-    # its counters at the compaction merge)
-    try:
-        prev_done = completed_groups(read_checkpoint(spark, checkpoint)[1],
-                                     gcols).localCheckpoint(eager=True)
-    except Exception:  # noqa: BLE001 — cold start, no checkpoint yet
-        prev_done = None
 
     t0 = time.perf_counter()
     states = resume_ingest(spark, files, cfg, checkpoint)
@@ -81,11 +81,19 @@ def run(spark: SparkSession, input_path: str, checkpoint: str, store: str,
     t_ingest = time.perf_counter() - t0
 
     states_ck = spark.read.parquet(f"{checkpoint}/states")
-    fresh = (states_ck if prev_done is None
-             else states_ck.join(prev_done, gcols, "left_anti"))
+    store_present = _store_exists(spark, store)
+    if store_present:
+        # column-pruned scan of the store's own keys (group cols + kind);
+        # distinct is O(groups), not O(sketch bytes)
+        store_keys = (spark.read.parquet(store)
+                      .select(*gcols, "kind").distinct()
+                      .localCheckpoint(eager=True))
+        fresh = states_ck.join(store_keys, [*gcols, "kind"], "left_anti")
+    else:
+        fresh = states_ck
     n_new_rows = fresh.count()
 
-    mode = "append" if _store_exists(spark, store) else "overwrite"
+    mode = "append" if store_present else "overwrite"
     if n_new_rows:
         write_sketch_store(fresh, store, group_col=group_col,
                            buckets=buckets, mode=mode)

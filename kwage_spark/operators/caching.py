@@ -83,8 +83,13 @@ def cache_scope():
     finally:
         with _LOCK:
             stack = _scope_stack()
-            if scope in stack:
-                stack.remove(scope)
+            # remove by IDENTITY, never value: two empty scope lists
+            # compare equal, so a value-based remove() of an inner scope
+            # could pop the OUTER scope's list and leak its caches
+            for i in range(len(stack) - 1, -1, -1):
+                if stack[i] is scope:
+                    del stack[i]
+                    break
         _unpersist_all(scope)
 
 

@@ -122,6 +122,19 @@ def write_checkpoint(sketches: DataFrame, path: str,
     manifest.write.mode("overwrite").parquet(f"{path}/manifest")
 
 
+def checkpoint_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit FS-API existence probe for the checkpoint's manifest dir —
+    the ONLY condition treated as cold start. A transient FS error or a
+    corrupt manifest must FAIL LOUDLY, never silently rebuild: with an
+    existing store a phantom cold start re-appends every state, and the
+    compaction merge then doubles each group's counters and CMS/KLL/HLL
+    mass (only the Bloom OR is idempotent)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/manifest")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
 def read_checkpoint(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     """Returns (states, manifest); only states whose manifest row is
     complete AND whose crc matches are trusted."""
@@ -151,10 +164,12 @@ def resume_ingest(spark: SparkSession, files: DataFrame, cfg: SketchConfig,
     choose — a shuffled semi-join is slower but never OOMs the driver.
     """
     gcols = list(cfg.group_cols)
-    try:
-        states, manifest = read_checkpoint(spark, checkpoint_path)
-    except Exception:  # noqa: BLE001 — no checkpoint yet: cold start
-        return build_sketches(files, cfg)
+    if not checkpoint_exists(spark, checkpoint_path):
+        return build_sketches(files, cfg)  # genuine cold start
+    # past here any read failure (transient FS error, corrupt parquet)
+    # PROPAGATES: treating it as cold start would silently rebuild and
+    # double-append downstream stores
+    states, manifest = read_checkpoint(spark, checkpoint_path)
     done = completed_groups(manifest, gcols)
     n_done = done.count()  # one tiny manifest aggregate, reused both joins
     done_h = _hint_small(done, n_done, broadcast_limit)

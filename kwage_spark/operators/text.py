@@ -137,27 +137,48 @@ def top_tokens_per_group(df: DataFrame, text_col: str, group_col: str,
 
 
 def unigram_logprob_score(df: DataFrame, id_col: str, text_col: str,
+                          top_n: int = 65536,
                           round_dp: int = 4) -> DataFrame:
-    """Per-document mean unigram log-probability under the corpus's own
-    unigram model — the classic perplexity-proxy quality score (rare-
-    token-heavy noise scores low, fluent common-vocabulary text scores
-    high) without shipping a language model.
+    """Per-document mean unigram log-probability under a TOP-N unigram
+    model trained on the corpus itself — the classic perplexity-proxy
+    quality score (rare-token-heavy noise scores low, fluent
+    common-vocabulary text scores high) without shipping a language model.
 
-    Two passes over the tokens: (1) corpus token frequencies (map-side
-    combined), (2) per-doc mean of ln(n_token / n_total) via a BROADCAST
-    join of the (small) vocabulary against the exploded tokens — the
-    token table never shuffles. Returns (id, n_tokens, logprob)."""
+    The model is the ``top_n`` most frequent tokens (ties broken by token
+    ascending, so the vocabulary is deterministic); every other token
+    gets the out-of-vocabulary FLOOR ``ln(1 / n_total)`` — a count-1
+    probability, always ≤ the token's true logprob. Capping the
+    vocabulary is both better methodology (the head of the distribution
+    IS the fluency signal; the tail is mostly noise/typos/ids — the same
+    shape CCNet-style quality filters use) and the 100-TB design: the
+    broadcast side is AT MOST ``top_n`` rows no matter how large the
+    corpus vocabulary grows (10⁸–10⁹ distinct tokens at corpus scale
+    would OOM a full-vocabulary broadcast).
+
+    Plan shape: (1) token frequencies (map-side combined, shuffle is
+    O(distinct tokens)); (2) global top-N via orderBy+limit — Spark
+    executes TakeOrderedAndProject: per-partition top-N then an O(N)
+    driver merge, never a full sort; (3) the exploded token table
+    LEFT-joins the broadcast N-row model and coalesces misses to the OOV
+    floor — the big side never shuffles. ``n_total`` counts ALL tokens
+    (in- and out-of-vocabulary), so probabilities stay normalized
+    against the real corpus mass. Returns (id, n_tokens, logprob)."""
     freqs = token_frequencies(df, text_col)
     total = freqs.agg(F.sum("n").alias("n_total"))
-    model = F.broadcast(freqs.crossJoin(F.broadcast(total))
+    vocab = freqs.orderBy(F.desc("n"), "token").limit(top_n)
+    model = F.broadcast(vocab.crossJoin(F.broadcast(total))
                         .select("token",
                                 (F.log(F.col("n")) - F.log("n_total"))
                                 .alias("lp")))
     toks = (df.select(id_col,
                       F.explode(F.split(text_col, r"\s+")).alias("token"))
             .filter(F.length("token") > 0))
-    return (toks.join(model, "token")
-            .groupBy(id_col)
+    scored = (toks.join(model, "token", "left")
+              .crossJoin(F.broadcast(total))
+              .select(id_col,
+                      F.coalesce(F.col("lp"), -F.log("n_total"))
+                      .alias("lp")))
+    return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
                  F.round(F.avg("lp"), round_dp).alias("logprob")))
 

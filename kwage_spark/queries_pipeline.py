@@ -478,23 +478,31 @@ WITH toks AS (
   SELECT * FROM toks WHERE length(token) > 0
 ), freqs AS (
   SELECT token, count(*) AS n FROM toks_nz GROUP BY token
+), tot AS (
+  SELECT sum(n) AS n_total FROM freqs
+), vocab AS (
+  SELECT token, n FROM freqs ORDER BY n DESC, token LIMIT 24
 ), model AS (
-  SELECT token, ln(n) - ln((SELECT sum(n) FROM freqs)) AS lp FROM freqs
+  SELECT token, ln(n) - ln((SELECT n_total FROM tot)) AS lp FROM vocab
 )
 SELECT t.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(m.lp), 4) AS logprob
-FROM toks_nz t JOIN model m ON m.token = t.token
+       round(avg(coalesce(m.lp, -ln((SELECT n_total FROM tot)))), 4)
+         AS logprob
+FROM toks_nz t LEFT JOIN model m ON m.token = t.token
 GROUP BY t.doc_id
 """)
 def q_unigram_logprob(spark, sf_dir):
     """Perplexity-proxy quality score: per-doc mean log-probability under
-    the corpus's own unigram model (operators/text.unigram_logprob_score)
-    — the standard cheap quality filter a training-data pipeline applies
-    before expensive model-based scoring. Broadcast vocabulary join; the
-    exploded token table never shuffles."""
+    a TOP-N unigram model with an OOV count-1 floor
+    (operators/text.unigram_logprob_score) — the standard cheap quality
+    filter a training-data pipeline applies before model-based scoring.
+    top_n=24 < the test corpus's 31 distinct tokens, so the oracle
+    value-checks BOTH the in-vocabulary and the OOV-floor path. The
+    broadcast side is bounded at N rows at ANY corpus scale (the full-
+    vocabulary broadcast this replaces dies at 10⁸+ distinct tokens)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return unigram_logprob_score(d, "doc_id", "text")
+    return unigram_logprob_score(d, "doc_id", "text", top_n=24)
 
 
 @register("kmv_lang_overlap")  # rows-only (KMV estimates; exact-twin

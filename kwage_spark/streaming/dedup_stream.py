@@ -4,17 +4,30 @@ as STREAM STATE.
 Documents stream in; the first occurrence of each content passes
 through, later duplicates are dropped (the on-ingest dedup a
 training-data pipeline runs before anything touches the corpus). State
-per hash-bucket is a MERGEABLE BLOOM SKETCH (kernels/bloom.py) instead
-of an ever-growing seen-set: O(2^log2_m) bits per bucket forever,
-regardless of stream length — the property that makes the operator
-viable over an unbounded 100-TB ingest.
+per hash-bucket is a bounded list of MERGEABLE BLOOM SKETCH
+*generations* (kernels/bloom.py) instead of an ever-growing seen-set.
+
+Saturation handling — a single fixed filter saturates: past its
+capacity the FP rate climbs toward 1 and the operator would silently
+drop nearly every NEW document as a duplicate. Instead, each bucket
+carries an insert counter per generation; when the newest generation
+reaches the capacity at which its own FP rate hits ``p_target``
+(``BloomParams.approximate_max_kmers``, the published bound inverse,
+`bloom.cpp:72-121`), a FRESH generation is rotated in: membership is
+checked against ALL generations, inserts go only to the newest. The
+list is bounded at ``max_generations``; exceeding it RAISES with
+sizing guidance rather than silently degrading — total state per
+bucket is ≤ max_generations × 2^log2_m bits, and the cumulative FP
+probability for a novel document is ≤ len(generations) × p_target
+(union bound over independent filters, each individually ≤ p_target).
+
+Capacity-plan with ``expected_docs``: params are then sized by
+``BloomParams.optimal(expected_docs / n_buckets, p_target)`` so one
+generation suffices and rotation is pure headroom.
 
 Direction of error: a Bloom false positive drops a NEW document as a
 duplicate — the safe direction for training data (losing one novel doc
 is cheap; emitting dup training text is the failure that matters).
-The per-bucket FP probability follows the published bound
-(`bloom.cpp:47`, `BloomParams.fp_rate`); capacity-plan ``log2_m`` with
-``BloomParams.optimal(expected_docs_per_bucket, p_target)``.
 
 The same fold works in batch mode via groupBy().applyInPandas-style
 processing, but batch exact dedup should use the hash-groupBy queries
@@ -24,6 +37,8 @@ contract (bounded state + per-micro-batch emission).
 
 from __future__ import annotations
 
+import math
+import struct
 from typing import Any, Iterator, Tuple
 
 import numpy as np
@@ -38,8 +53,31 @@ from ..kernels.murmur3 import murmur3_32_multiseed
 OUT_SCHEMA = "doc_id long, content_sha256 string"
 _STATE_SCHEMA = "state binary"
 
-#: 2^20 bits = 128 KiB per bucket; ~10^5 docs/bucket at p <= 2.5e-3
+#: 2^20 bits = 128 KiB per generation; ~5.1e4 docs/generation/bucket at
+#: p_target = 2.5e-3 (approximate_max_kmers(2.5e-3, 20, 3)). With the
+#: default 64 buckets × 8 generations that is ~2.6e7 docs before the
+#: loud capacity failure — size via ``expected_docs`` for anything
+#: larger; an unbounded 100-TB ingest needs params from
+#: ``BloomParams.optimal``, not these defaults.
 DEFAULT_PARAMS = BloomParams(k=32, log2_m=20, num_hash=3)
+DEFAULT_P_TARGET = 2.5e-3
+
+
+def _pack_generations(gens: list[BloomState]) -> bytes:
+    blobs = [g.to_bytes() for g in gens]
+    return struct.pack("<I", len(blobs)) + b"".join(
+        struct.pack("<I", len(b)) + b for b in blobs)
+
+
+def _unpack_generations(blob: bytes) -> list[BloomState]:
+    (n,) = struct.unpack_from("<I", blob, 0)
+    off, gens = 4, []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", blob, off)
+        off += 4
+        gens.append(BloomState.from_bytes(blob[off:off + ln]))
+        off += ln
+    return gens
 
 
 def _digest_hashes(hex_hashes: pd.Series, params: BloomParams) -> np.ndarray:
@@ -53,10 +91,10 @@ def _digest_hashes(hex_hashes: pd.Series, params: BloomParams) -> np.ndarray:
 
 
 def _fold_bucket(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
-                 state: GroupState, params: BloomParams
-                 ) -> Iterator[pd.DataFrame]:
-    bloom = (BloomState.from_bytes(bytes(state.get[0])) if state.exists
-             else BloomState(params))
+                 state: GroupState, params: BloomParams, capacity: int,
+                 max_generations: int) -> Iterator[pd.DataFrame]:
+    gens = (_unpack_generations(bytes(state.get[0])) if state.exists
+            else [BloomState(params)])
     rows = pd.concat(list(pdfs), ignore_index=True)
     if not len(rows):
         return
@@ -65,25 +103,62 @@ def _fold_bucket(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
     rows = (rows.sort_values("doc_id")
             .drop_duplicates(subset="content_sha256", keep="first"))
     hashes = _digest_hashes(rows["content_sha256"], params)
-    seen = bloom.contains_hashes(hashes)
+    seen = np.zeros(len(rows), dtype=bool)
+    for g in gens:  # check ALL generations
+        seen |= g.contains_hashes(hashes)
     fresh = rows[~seen]
-    if len(fresh):
-        bloom.add_hashes(hashes[~seen])
-    state.update((bloom.to_bytes(),))
+    new_hashes = hashes[~seen]
+    # insert into the NEWEST generation only, rotating at capacity so no
+    # generation's own FP rate ever exceeds p_target
+    pos = 0
+    while pos < len(new_hashes):
+        room = capacity - gens[-1].n_items
+        if room <= 0:
+            if len(gens) >= max_generations:
+                raise RuntimeError(
+                    f"dedup_stream bucket {key} saturated: "
+                    f"{len(gens)} generations x {capacity} docs at "
+                    f"log2_m={params.log2_m}. Re-plan with "
+                    "expected_docs=<stream size> (BloomParams.optimal) "
+                    "or raise max_generations/n_buckets.")
+            gens.append(BloomState(params))
+            room = capacity
+        take = min(room, len(new_hashes) - pos)
+        gens[-1].add_hashes(new_hashes[pos:pos + take])
+        pos += take
+    state.update((_pack_generations(gens),))
     if len(fresh):
         yield fresh[["doc_id", "content_sha256"]]
 
 
 def dedup_stream(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n_buckets: int = 64,
-                 params: BloomParams = DEFAULT_PARAMS) -> DataFrame:
+                 params: BloomParams | None = None,
+                 expected_docs: int | None = None,
+                 p_target: float = DEFAULT_P_TARGET,
+                 max_generations: int = 8) -> DataFrame:
     """docs(id, text, …) streaming DataFrame → first-seen rows
     (doc_id, content_sha256). Content is keyed by sha256; rows shard
     across ``n_buckets`` state buckets by a JVM-side hash of the digest,
-    so state stays balanced and each bucket's Bloom filter is
-    independent (per-bucket FP bound applies to its own cardinality)."""
+    so state stays balanced and each bucket's generation list is
+    independent (the per-bucket FP bound applies to its own cardinality).
+
+    Pass ``expected_docs`` to capacity-plan the filters: params become
+    ``BloomParams.optimal(ceil(expected_docs / n_buckets), p_target)``
+    and rotation is pure headroom. With explicit/default ``params``,
+    each generation holds ``approximate_max_kmers(p_target, …)`` docs
+    before a new one rotates in; past ``max_generations`` the fold
+    RAISES (loud failure, never silent novel-doc drops)."""
+    if params is None:
+        params = (BloomParams.optimal(
+            max(1, math.ceil(expected_docs / n_buckets)), p_target, k=32)
+            if expected_docs is not None else DEFAULT_PARAMS)
+    capacity = max(1, BloomParams.approximate_max_kmers(
+        p_target, params.log2_m, params.num_hash))
+
     def fold(key, pdfs, state):
-        return _fold_bucket(key, pdfs, state, params)
+        return _fold_bucket(key, pdfs, state, params, capacity,
+                            max_generations)
 
     keyed = (docs
              .select(F.col(id_col).alias("doc_id"),

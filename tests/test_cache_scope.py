@@ -89,3 +89,24 @@ def test_connected_components_releases_edge_cache(spark):
     # the sym persist is gone; only per-round checkpoint RDDs may linger
     # until GC, and those are label-table-sized, not edge-corpus-sized
     assert _persistent_rdd_count(spark) - before <= 4
+
+
+def test_empty_inner_scope_exit_keeps_outer_scope_identity(spark):
+    """Two empty scope lists compare EQUAL — exiting an empty inner scope
+    must remove its own list by identity, not pop the outer one (a
+    value-based remove would leak every cache registered in the outer
+    scope after the inner exit)."""
+    from kwage_spark.operators.caching import (cache_scope, persist_tracked,
+                                               tracked_count)
+    base = tracked_count()
+    with cache_scope() as outer:
+        with cache_scope():
+            pass  # inner registers nothing: [] == [] with the outer list
+        df = persist_tracked(spark.range(10))
+        df.count()
+        # the registration must land in the OUTER scope, still on the stack
+        assert len(outer) == 1
+        assert tracked_count() == base + 1
+    # outer exit released it — nothing leaked to the session
+    assert tracked_count() == base
+    assert df.storageLevel.useMemory is False

@@ -71,3 +71,62 @@ def test_incremental_rounds_resume_append_compact(spark, tmp_path):
     got = {(r["source"], r["lang"], r["kind"]): r["n_rows"]
            for r in back.select("source", "lang", "kind", "n_rows").collect()}
     assert got == want
+
+
+def test_crash_between_checkpoint_and_store_append_heals(
+        spark, tmp_path, monkeypatch):
+    """Kill the job AFTER the checkpoint manifest is complete but BEFORE
+    the store append: because freshness is derived from the store's own
+    (group, kind) keys (not the manifest), the next run re-appends the
+    orphaned groups — no silent, unrecoverable gap."""
+    import jobs.incremental_ingest_job as job
+
+    pdf = make_source_files(n_repos=6, files_per_repo=3, seed=23)
+    repos = sorted(pdf.repo.unique())
+    wave1 = _docs(spark, pdf[pdf.repo.isin(repos[:3])])
+    all_docs = _docs(spark, pdf)
+
+    inp = str(tmp_path / "input")
+    ck = str(tmp_path / "ck")
+    store = str(tmp_path / "store")
+
+    wave1.write.mode("overwrite").parquet(inp)
+    run(spark, inp, ck, store)
+
+    # round 2 "crashes" in the manifest-complete / store-not-appended
+    # window: checkpoint sees everything done, store is missing 3 repos
+    all_docs.write.mode("overwrite").parquet(inp)
+    real_write = job.write_sketch_store
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before store append")
+
+    monkeypatch.setattr(job, "write_sketch_store", boom)
+    try:
+        run(spark, inp, ck, store)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as e:
+        assert "injected crash" in str(e)
+    monkeypatch.setattr(job, "write_sketch_store", real_write)
+
+    # the store is now BEHIND the completed manifest — the failure mode
+    # the old manifest-keyed freshness could never repair
+    assert (read_sketch_store(spark, store)
+            .select("source").distinct().count() == 3)
+
+    # next run heals: the anti-join against store keys re-finds the gap
+    r3 = run(spark, inp, ck, store)
+    assert r3["store_mode"] == "append"
+    assert r3["n_new_state_rows"] > 0
+
+    back = read_sketch_store(spark, store)
+    assert back.select("source").distinct().count() == 6
+    assert back.count() == back.select("source", "lang", "kind") \
+        .distinct().count()
+    from kwage_spark.operators.ingest import build_sketches
+    fresh = build_sketches(all_docs, DEFAULT_CFG)
+    want = {(r["source"], r["lang"], r["kind"]): r["n_rows"]
+            for r in fresh.select("source", "lang", "kind", "n_rows").collect()}
+    got = {(r["source"], r["lang"], r["kind"]): r["n_rows"]
+           for r in back.select("source", "lang", "kind", "n_rows").collect()}
+    assert got == want

@@ -202,3 +202,23 @@ def test_planned_worklist_records_failed_groups(spark, corpus, tmp_path):
     assert att[("org3/repo3", "bloom")] == 3
     assert att[("org0/repo0", "bloom")] == 1
     assert m3.filter(~F.col("complete")).count() == 0
+
+
+def test_corrupt_manifest_fails_loudly_not_cold_start(spark, corpus, tmp_path):
+    """A manifest dir that EXISTS but cannot be read must raise — treating
+    it as cold start would rebuild everything and double-append any
+    downstream store (only the Bloom OR is idempotent; counters and
+    CMS/KLL/HLL mass are not)."""
+    import pytest
+
+    from kwage_spark.operators.checkpoint import (checkpoint_exists,
+                                                  resume_ingest)
+    ck = str(tmp_path / "ck")
+    assert not checkpoint_exists(spark, ck)  # genuinely cold
+    (tmp_path / "ck" / "manifest").mkdir(parents=True)
+    (tmp_path / "ck" / "manifest" / "part-00000.parquet").write_bytes(
+        b"not a parquet file")
+    assert checkpoint_exists(spark, ck)
+    with pytest.raises(Exception) as ei:
+        resume_ingest(spark, corpus, CFG, ck).collect()
+    assert "cold" not in str(ei.value).lower()

@@ -438,3 +438,47 @@ def test_connected_components_random_graph_vs_union_find(spark):
     got = {r["v"]: r["comp"] for r in connected_components(edges).collect()}
     release_caches()
     assert got == expect
+
+
+def test_unigram_topn_oov_floor_semantics(spark):
+    """top_n caps the vocabulary deterministically (count desc, token
+    asc) and every out-of-vocabulary token scores the count-1 floor
+    ln(1/n_total); n_total still counts ALL tokens."""
+    import math
+
+    rows = [(1, "a a a b b c"), (2, "zz qq"), (3, "a zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from kwage_spark.operators.text import unigram_logprob_score
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_score(df, "doc_id", "text", top_n=2,
+                                 round_dp=6).collect()}
+    n_total = 10  # all tokens, OOV included
+    lp = {"a": math.log(4 / n_total), "b": math.log(2 / n_total)}
+    floor = math.log(1 / n_total)  # c, zz, qq are OOV (vocab = {a, b})
+    exp = {
+        1: (6, (3 * lp["a"] + 2 * lp["b"] + floor) / 6),
+        2: (2, floor),
+        3: (2, (lp["a"] + floor) / 2),
+    }
+    for doc, (n, want) in exp.items():
+        assert out[doc]["n_tokens"] == n
+        assert abs(out[doc]["logprob"] - round(want, 6)) < 1e-6
+
+
+def test_unigram_topn_tie_break_is_deterministic(spark):
+    """Boundary ties resolve by token ascending: with top_n=1 and equal
+    counts, 'a' enters the vocabulary and 'b' takes the floor."""
+    import math
+
+    df = spark.createDataFrame([(1, "b a")], "doc_id long, text string")
+    from kwage_spark.operators.text import unigram_logprob_score
+    row = unigram_logprob_score(df, "doc_id", "text", top_n=1,
+                                round_dp=6).collect()[0]
+    want = (math.log(1 / 2) + math.log(1 / 2)) / 2  # a in-vocab == floor here
+    assert abs(row["logprob"] - round(want, 6)) < 1e-6
+    # distinguishable case: counts a=2, b=1 -> floor for b only
+    df2 = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+    row2 = unigram_logprob_score(df2, "doc_id", "text", top_n=1,
+                                 round_dp=6).collect()[0]
+    want2 = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
+    assert abs(row2["logprob"] - round(want2, 6)) < 1e-6

@@ -182,3 +182,17 @@ def test_ensure_parallelism_passes_streaming_through(spark):
               .option("rowsPerSecond", 1).load())
     out = ensure_parallelism(stream)
     assert out is stream
+
+
+def test_unigram_vocab_broadcast_is_limit_bounded(spark):
+    """The unigram model must broadcast AT MOST top_n vocabulary rows:
+    the plan's vocabulary branch is a TakeOrderedAndProject (per-partition
+    top-N + O(N) driver merge), never a full-vocabulary broadcast — the
+    r4-flagged 100-TB scale-killer."""
+    from kwage_spark.operators.text import unigram_logprob_score
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    q = unigram_logprob_score(d, "doc_id", "text", top_n=24)
+    plan = physical_plan(q)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the exploded token side stays the streamed (non-broadcast) side
+    assert has_broadcast_join(q)
