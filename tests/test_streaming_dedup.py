@@ -88,11 +88,133 @@ def test_stream_dedup_state_is_bounded_bloom(spark, tmp_path):
         rows = pd.DataFrame(
             [r for i in range(wave * 100, wave * 100 + 100)
              for r in mk(i)], columns=["doc_id", "content_sha256"])
-        out = list(_fold_bucket((0,), iter([rows]), st, params))
+        out = list(_fold_bucket((0,), iter([rows]), st, params,
+                                capacity=10**9, max_generations=8))
         assert len(out) == 1 and len(out[0]) == 100  # all novel docs pass
         sizes.append(len(st.blob))
     assert sizes[0] == sizes[1] == sizes[2], "state grew with stream length"
     # and a replayed wave emits nothing
     rows = pd.DataFrame(mk(5) + mk(150), columns=["doc_id", "content_sha256"])
-    out = list(_fold_bucket((0,), iter([rows]), st, params))
+    out = list(_fold_bucket((0,), iter([rows]), st, params,
+                            capacity=10**9, max_generations=8))
     assert not out
+
+
+class _FakeState:
+    exists = False
+    hasTimedOut = False
+
+    def __init__(self):
+        self.blob = None
+
+    @property
+    def get(self):
+        return (self.blob,)
+
+    def update(self, t):
+        self.blob = t[0]
+        self.exists = True
+
+
+def _sha_rows(ids):
+    import hashlib
+    return pd.DataFrame(
+        [(i, hashlib.sha256(f"doc {i}".encode()).hexdigest()) for i in ids],
+        columns=["doc_id", "content_sha256"])
+
+
+def test_stream_dedup_generation_rotation_past_capacity():
+    """3x capacity novel docs through ONE bucket: a single fixed filter
+    would saturate and silently drop nearly every new doc; generation
+    rotation keeps the FP rate bounded (each generation stays under its
+    own p_target capacity), planted dups still drop, and state stays
+    bounded at <= n_generations fixed-size filters."""
+    from kwage_spark.kernels.bloom import BloomParams
+    from kwage_spark.streaming.dedup_stream import (_fold_bucket,
+                                                    _unpack_generations)
+
+    p_target = 2.5e-3
+    params = BloomParams(k=32, log2_m=10, num_hash=3)
+    capacity = BloomParams.approximate_max_kmers(p_target, 10, 3)
+    assert 0 < capacity < 100  # tiny on purpose: rotation must trigger
+
+    st = _FakeState()
+    n_novel = capacity * 3 + 7
+    emitted = 0
+    for start in range(0, n_novel, 40):
+        ids = list(range(start, min(start + 40, n_novel)))
+        rows = _sha_rows(ids + ids[:5])  # planted in-batch dups
+        out = list(_fold_bucket((0,), iter([rows]), st, params,
+                                capacity=capacity, max_generations=8))
+        emitted += sum(len(o) for o in out)
+    gens = _unpack_generations(bytes(st.blob))
+    assert len(gens) >= 3, "rotation never triggered"
+    assert all(g.n_items <= capacity for g in gens)
+    # novel docs keep passing: cumulative FP <= len(gens) * p_target
+    assert emitted >= n_novel * (1 - len(gens) * p_target) - 1
+    assert emitted <= n_novel
+    # replayed dups across generations all drop
+    out = list(_fold_bucket((0,), iter([_sha_rows(range(0, n_novel, 7))]),
+                            st, params, capacity=capacity,
+                            max_generations=8))
+    assert not out
+    # state is bounded: <= max_generations fixed-size filters
+    assert len(bytes(st.blob)) <= 8 * (params.n_bytes + 64)
+
+
+def test_stream_dedup_raises_loudly_at_max_generations():
+    import pytest
+
+    from kwage_spark.kernels.bloom import BloomParams
+    from kwage_spark.streaming.dedup_stream import _fold_bucket
+
+    params = BloomParams(k=32, log2_m=10, num_hash=3)
+    st = _FakeState()
+    with pytest.raises(RuntimeError, match="saturated"):
+        for start in range(0, 500, 50):
+            list(_fold_bucket((0,), iter([_sha_rows(range(start,
+                                                          start + 50))]),
+                              st, params, capacity=30, max_generations=2))
+
+
+def test_stream_dedup_expected_docs_sizes_params(spark, tmp_path):
+    """expected_docs capacity-plans via BloomParams.optimal so one
+    generation suffices; rotation also round-trips through REAL streaming
+    state (applyInPandasWithState serialization of multi-gen blobs)."""
+    from kwage_spark.kernels.bloom import BloomParams
+    from kwage_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    now = time.time()
+    n = 160  # >> log2_m=10 capacity (~49/gen) in one bucket
+    mk = lambda i: (i, f"document number {i} with some unique filler {i*7}")
+    _write_chunk(str(src / "c1.parquet"), [mk(i) for i in range(60)],
+                 now - 30)
+    _write_chunk(str(src / "c2.parquet"),
+                 [mk(i) for i in range(60, 120)] + [mk(3), mk(17)], now - 20)
+    _write_chunk(str(src / "c3.parquet"),
+                 [mk(i) for i in range(120, n)] + [mk(80)], now - 10)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    out = dedup_stream(stream, n_buckets=1,
+                       params=BloomParams(k=32, log2_m=10, num_hash=3))
+    q = (out.writeStream.format("memory").queryName("dedup_rot")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM dedup_rot").collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # all planted dups dropped; nearly all novel docs emitted (FP bound)
+    assert len(ids) == len(set(ids))
+    assert set(ids) <= set(range(n))
+    assert len(ids) >= n - 3
+
+    # sizing path: expected_docs drives BloomParams.optimal
+    from kwage_spark.streaming import dedup_stream as mod
+    p = BloomParams.optimal(10_000, mod.DEFAULT_P_TARGET, k=32)
+    cap = BloomParams.approximate_max_kmers(mod.DEFAULT_P_TARGET,
+                                            p.log2_m, p.num_hash)
+    assert cap >= 10_000  # one generation suffices at the planned size
