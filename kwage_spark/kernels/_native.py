@@ -183,6 +183,81 @@ void mm3_sliding_ranges_multiseed(const uint8_t *buf, const int64_t *starts,
     }
 }
 
+/* Fused sliding-window multiseed MINHASH: fold out[s] = min(out[s],
+   murmur3_32(window_i, seeds[s])) over all k-byte windows — the minhash
+   signature kernel. Same chunked precomputed-mix structure as
+   mm3_sliding_multiseed, but the (n_windows x nseeds) hash matrix is
+   never materialized: the min folds in-register, so memory traffic is
+   O(len), not O(n_windows * nseeds * 4). Caller pre-initializes out
+   (UINT32_MAX) — chunks and range batches fold associatively. */
+void mm3_sliding_minhash(const uint8_t *buf, int64_t len, int64_t k,
+                         const uint32_t *seeds, int64_t nseeds,
+                         uint32_t *out) {
+    int64_t n = len - k + 1;
+    int64_t nblocks = k / 4;
+    int tailn = (int)(k & 3);
+    if (nblocks > 16) { /* rare huge-k fallback */
+        for (int64_t i = 0; i < n; i++)
+            for (int64_t s = 0; s < nseeds; s++) {
+                uint32_t h = mm3_body(buf + i, k, seeds[s]);
+                if (h < out[s]) out[s] = h;
+            }
+        return;
+    }
+    uint32_t mixed[MM3_CHUNK + 64];
+    uint32_t tk[MM3_CHUNK];
+    for (int64_t c0 = 0; c0 < n; c0 += MM3_CHUNK) {
+        int64_t cn = n - c0 < MM3_CHUNK ? n - c0 : MM3_CHUNK;
+        int64_t nmix = nblocks ? cn + 4 * (nblocks - 1) : 0;
+        for (int64_t j = 0; j < nmix; j++) {
+            uint32_t k1 = load32(buf + c0 + j);
+            k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+            mixed[j] = k1;
+        }
+        if (tailn) {
+            const uint8_t *tp = buf + c0 + 4 * nblocks;
+            for (int64_t j = 0; j < cn; j++) {
+                uint32_t k1 = (uint32_t)tp[j];
+                if (tailn >= 2) k1 ^= (uint32_t)tp[j + 1] << 8;
+                if (tailn == 3) k1 ^= (uint32_t)tp[j + 2] << 16;
+                k1 *= 0xcc9e2d51u; k1 = rotl32(k1, 15); k1 *= 0x1b873593u;
+                tk[j] = k1;
+            }
+        }
+        for (int64_t s = 0; s < nseeds; s++) {
+            uint32_t seed = seeds[s];
+            uint32_t mn = out[s];
+            for (int64_t i = 0; i < cn; i++) {
+                uint32_t h1 = seed;
+                for (int64_t b = 0; b < nblocks; b++) {
+                    h1 ^= mixed[i + 4 * b]; h1 = rotl32(h1, 13);
+                    h1 = h1 * 5u + 0xe6546b64u;
+                }
+                if (tailn) h1 ^= tk[i];
+                h1 = fmix32(h1 ^ (uint32_t)k);
+                if (h1 < mn) mn = h1;
+            }
+            out[s] = mn;
+        }
+    }
+}
+
+/* Per-string minhash over (start, len) ranges into a shared buffer —
+   out is (m, nseeds); strings with no window get all-UINT32_MAX rows
+   (the Python wrapper filters those out before calling). */
+void mm3_sliding_ranges_minhash(const uint8_t *buf, const int64_t *starts,
+                                const int64_t *lens, int64_t m, int64_t k,
+                                const uint32_t *seeds, int64_t nseeds,
+                                uint32_t *out) {
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t *o = out + i * nseeds;
+        for (int64_t s = 0; s < nseeds; s++) o[s] = 0xffffffffu;
+        if (lens[i] - k + 1 > 0)
+            mm3_sliding_minhash(buf + starts[i], lens[i], k, seeds,
+                                nseeds, o);
+    }
+}
+
 /* Containment-scan counting kernel (Q2-Q5, the flagship read path):
    for each of n_rows filters (row_bytes bytes each, LSB-first bits) and
    each of nq queries, count query k-grams whose num_hash bit positions
@@ -430,12 +505,21 @@ if os.environ.get("KWAGE_DISABLE_NATIVE", "") != "1":
             _lib = ctypes.CDLL(_so_path)
             for fn in ("mm3_sliding_multiseed", "mm3_rows_multiseed",
                        "mm3_batch_multiseed", "mm3_sliding_batch_multiseed",
-                       "mm3_sliding_ranges_multiseed", "bloom_scan_count",
+                       "mm3_sliding_ranges_multiseed",
+                       "mm3_sliding_minhash", "mm3_sliding_ranges_minhash",
+                       "bloom_scan_count",
                        "bloom_scan_count_sliced", "bit_transpose",
                        "bloom_scatter", "hll_update", "cms_update"):
                 getattr(_lib, fn).restype = None
             _lib.bloom_scan_count_sliced.restype = ctypes.c_int
             _lib.mm3_sliding_ranges_multiseed.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
+            _lib.mm3_sliding_minhash.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            _lib.mm3_sliding_ranges_minhash.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p]
@@ -513,6 +597,26 @@ def sliding_batch_multiseed(buf: np.ndarray, offsets: np.ndarray, k: int,
         _lib.mm3_sliding_batch_multiseed(
             buf.ctypes.data, offsets.ctypes.data, offsets.shape[0] - 1, k,
             seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
+    return out
+
+
+def sliding_ranges_minhash(buf: np.ndarray, starts: np.ndarray,
+                           lens: np.ndarray, k: int,
+                           seeds: np.ndarray) -> np.ndarray:
+    """(m, nseeds) uint32 minhash signatures — per-string min over every
+    k-byte window's multiseed murmur, fused in C (the hash matrix is
+    never materialized). Strings shorter than k yield all-UINT32_MAX
+    rows; callers filter those before the call for minhash semantics."""
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.uint32)
+    m = starts.shape[0]
+    out = np.empty((m, seeds.shape[0]), dtype=np.uint32)
+    if m > 0:
+        _lib.mm3_sliding_ranges_minhash(
+            buf.ctypes.data, starts.ctypes.data, lens.ctypes.data,
+            m, k, seeds.ctypes.data, seeds.shape[0], out.ctypes.data)
     return out
 
 

@@ -482,3 +482,36 @@ def test_unigram_topn_tie_break_is_deterministic(spark):
                                  round_dp=6).collect()[0]
     want2 = (2 * math.log(2 / 3) + math.log(1 / 3)) / 3
     assert abs(row2["logprob"] - round(want2, 6)) < 1e-6
+
+
+def test_minhash_batched_signatures_byte_identical(spark, docs):
+    """The batched stack+reduceat path must produce EXACTLY the per-doc
+    signatures (same kernel, same widths — no padding ambiguity), also
+    when the MAX_STACKED_WINDOWS flush splits a batch mid-stream."""
+    import kwage_spark.operators.dedup as dd
+    from kwage_spark.kernels.murmur3 import murmur3_32_multiseed
+    from kwage_spark.kernels.shingle import windows_of
+
+    sub = docs.filter(F.col("doc_id") < 30)
+    pdf = sub.toPandas()
+    seeds = (dd.MINHASH_SEED_BASE + np.arange(32)).astype(np.uint32)
+    want = {}
+    for rid, text in zip(pdf["doc_id"], pdf["text"]):
+        w = windows_of(text, 5)
+        if w.shape[0]:
+            want[rid] = murmur3_32_multiseed(w, seeds).min(axis=0) \
+                .astype(np.int64).tolist()
+
+    # default (auto) path — native fused kernel where available
+    got = {r["doc_id"]: r["sig"] for r in
+           dd.minhash_signatures(sub, "doc_id", "text", k=5,
+                                 num_perm=32).collect()}
+    assert got == want
+
+    # numpy batched fallback, with a tiny flush threshold so every
+    # Arrow batch splits mid-stream (closure-captured: reaches workers)
+    got_np = {r["doc_id"]: r["sig"] for r in
+              dd.minhash_signatures(sub, "doc_id", "text", k=5,
+                                    num_perm=32, use_native=False,
+                                    max_stacked=37).collect()}
+    assert got_np == want
