@@ -376,20 +376,20 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     collapsing to one sign pattern) are capped at ``max_bucket`` members
     (logged); the bucketed-row cache is registered with
     ``operators.caching``.
-    """
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        return df.sparkSession.createDataFrame(
-            [], "id_a long, id_b long, cosine double")
-    dim = first["d"]
-    rng = np.random.default_rng(HYPERPLANE_SEED)
-    planes = rng.standard_normal((n_planes, dim))
-    bplanes = df.sparkSession.sparkContext.broadcast(planes)
 
+    The hyperplanes are a pure function of (HYPERPLANE_SEED, dim), so
+    they are generated EXECUTOR-side from each Arrow batch's vector
+    length — no eager ``.first()`` dimension probe at construction (the
+    r4-flagged extra pre-action job) and no driver broadcast; an empty
+    input simply yields an empty result through the same plan.
+    """
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
-        p = bplanes.value
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
         mat = np.stack(vecs.to_numpy())            # (n, dim)
+        rng = np.random.default_rng(HYPERPLANE_SEED)
+        p = rng.standard_normal((n_planes, mat.shape[1]))
         signs = (mat @ p.T) > 0                     # (n, n_planes)
         return pd.Series((signs * (1 << np.arange(p.shape[0]))).sum(axis=1)
                          .astype(np.int64))

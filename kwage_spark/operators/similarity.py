@@ -63,6 +63,26 @@ def _bucket_udf(spark, planes: np.ndarray):
     return bucket_of
 
 
+def _bucket_udf_lazy(n_planes: int):
+    """Bucket UDF that derives the hyperplanes EXECUTOR-side from each
+    Arrow batch's vector length — planes are a pure function of
+    (HYPERPLANE_SEED, dim), so index writers need no eager ``.first()``
+    dimension probe (an extra pre-action job at construction) and no
+    driver broadcast; probe-side code regenerates the identical planes
+    from len(query_vec)."""
+    @F.pandas_udf("long")
+    def bucket_of(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        mat = np.stack(vecs.to_numpy())
+        rng = np.random.default_rng(HYPERPLANE_SEED)
+        p = rng.standard_normal((n_planes, mat.shape[1]))
+        signs = (mat @ p.T) > 0
+        return pd.Series((signs * (1 << np.arange(p.shape[0]))).sum(axis=1)
+                         .astype(np.int64))
+    return bucket_of
+
+
 def _probe_buckets(query_vec, planes: np.ndarray) -> list[int]:
     """Multi-probe set: the query's bucket plus every 1-bit flip."""
     qv = np.asarray(query_vec, dtype=np.float64)
@@ -228,15 +248,21 @@ def build_ann_index(df: DataFrame, path: str, id_col: str = "vec_id",
     """Materialize the hyperplane-bucketed ANN layout: rows written
     partitioned by their bucket (hive layout), so a probe reads only
     n_planes+1 of 2^n_planes partition directories. The planes are a pure
-    function of (HYPERPLANE_SEED, dim), so index and probe always agree."""
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("cannot index an empty table")
-    planes = lsh_plan_buckets(df.sparkSession, first["d"], n_planes)
-    bucket_of = _bucket_udf(df.sparkSession, planes)
+    function of (HYPERPLANE_SEED, dim), so index and probe always agree —
+    they are generated executor-side per Arrow batch, so the build is ONE
+    write job with no eager dimension-probe job before it. An empty input
+    is detected from the written layout (an FS listing, not a Spark job)
+    and raises, since a partition-less parquet dir cannot be read back."""
+    bucket_of = _bucket_udf_lazy(n_planes)
     (df.select(id_col, vec_col)
      .withColumn("bucket", bucket_of(F.col(vec_col)))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    jvm = df.sparkSession._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+    if not any(c.getPath().getName().startswith("bucket=")
+               for c in fs.listStatus(p)):
+        raise ValueError("cannot index an empty table")
 
 
 def ann_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,

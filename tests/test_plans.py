@@ -196,3 +196,31 @@ def test_unigram_vocab_broadcast_is_limit_bounded(spark):
     assert "TakeOrderedAndProject" in plan, plan
     # the exploded token side stays the streamed (non-broadcast) side
     assert has_broadcast_join(q)
+
+
+def test_embedding_paths_launch_no_eager_probe_job(spark, monkeypatch):
+    """r4 verdict item 4: no registered embedding path may run an eager
+    .first()/.head()/.take() probe job at construction. The ban is
+    enforced by monkeypatch while the full query (index build included)
+    runs end-to-end; hyperplanes now derive executor-side from the batch
+    dim, and the demo query vector comes from a driver-side pyarrow
+    row-group read, not a Spark job."""
+    from pyspark.sql import DataFrame
+
+    from kwage_spark.operators.dedup import embedding_near_duplicates
+
+    def boom(self, *a, **kw):
+        raise AssertionError("eager probe job at operator construction")
+
+    for name in ("first", "head", "take"):
+        monkeypatch.setattr(DataFrame, name, boom)
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    nd = embedding_near_duplicates(e, "vec_id", "embedding",
+                                   threshold=0.2, n_planes=6)
+    assert nd.count() >= 0  # executes fully without a probe
+
+    import kwage_spark.queries_pipeline  # noqa: F401 — registers ann/ivf
+    for qname in ("ann_topk_lsh", "ivf_topk_learned"):
+        out = spark_queries()[qname](spark, SF)
+        assert len(out.collect()) > 0
