@@ -269,18 +269,47 @@ def kmv_token_sketches(df: DataFrame, text_col: str, group_col: str,
                                   "est_distinct double"))
 
 
-def kmv_group_overlap(sketches: DataFrame, group_col: str) -> DataFrame:
+def kmv_group_overlap(sketches: DataFrame, group_col: str,
+                      max_groups: int = 1024) -> DataFrame:
     """Pairwise set-overlap estimates between groups from their KMV
     states: (group_a, group_b, jaccard_est, intersection_est) for
     group_a < group_b — the corpus/audience-overlap primitive, computed
-    from O(k) bytes per group instead of re-scanning tokens."""
+    from O(k) bytes per group instead of re-scanning tokens.
+
+    SCALE BOUND: the pair join is inherently O(G²) in the number of
+    groups — fine for strata (languages, sources: G ≤ 10³ → ≤ ~5·10⁵
+    pairs), catastrophic for high-cardinality keys. The ``max_groups``
+    guard is enforced INSIDE the plan (a one-row count aggregate
+    cross-joined into the pair stage raises via assert_true at runtime)
+    so it costs no extra driver action; raise it deliberately only with
+    an all-pairs budget of max_groups²/2 pair rows in mind. For G beyond
+    the guard, restrict ``sketches`` to the strata of interest first, or
+    compare against a fixed reference group (an O(G) join) instead of
+    all pairs. NOTE: ``sketches`` is read three times (both join sides +
+    the guard); persist it first if its lineage is expensive.
+    """
     from ..kernels.kmv import KMVState
 
+    guard = (sketches.agg(F.count(F.lit(1)).alias("_g"))
+             .select(F.assert_true(
+                 F.col("_g") <= max_groups,
+                 F.concat(F.lit("kmv_group_overlap: "), F.col("_g"),
+                          F.lit(f" groups exceeds max_groups={max_groups}"
+                                " — the all-pairs join is O(G^2); filter"
+                                " the sketch table or raise max_groups"
+                                " deliberately"))).alias("_chk")))
     a = sketches.select(F.col(group_col).alias("group_a"),
                         F.col("state").alias("_sa"))
     b = sketches.select(F.col(group_col).alias("group_b"),
                         F.col("state").alias("_sb"))
-    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    # the coalesce REFERENCES _chk so column pruning cannot drop the
+    # assert branch (a bare .drop would); the broadcast build evaluates
+    # the guard projection, so the assert fires before any pair row
+    pairs = (a.join(b, F.col("group_a") < F.col("group_b"))
+             .crossJoin(F.broadcast(guard))
+             .select(F.coalesce("group_a", F.col("_chk").cast("string"))
+                     .alias("group_a"),
+                     "group_b", "_sa", "_sb"))
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

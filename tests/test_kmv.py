@@ -128,3 +128,24 @@ def test_kmv_operator_matches_exact_distinct(spark):
     for r in ov:
         assert 0.0 < r["jaccard_est"] <= 1.0
         assert r["intersection_est"] > 0
+
+
+def test_kmv_group_overlap_guards_group_explosion(spark):
+    """The all-pairs join is O(G^2): past max_groups the query must
+    RAISE at runtime (in-plan assert, no extra driver action), and pass
+    untouched under the bound."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kwage_spark.operators.text import (kmv_group_overlap,
+                                            kmv_token_sketches)
+    rows = [(f"g{i:02d}", f"tok{i} tok{i+1} shared common words")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "grp string, text string")
+    sk = kmv_token_sketches(df, "text", "grp", k=64).localCheckpoint()
+    ok = kmv_group_overlap(sk, "grp", max_groups=10).collect()
+    assert len(ok) == 6 * 5 // 2
+    assert all(r["group_a"] < r["group_b"] for r in ok)
+
+    with pytest.raises(Exception, match="max_groups"):
+        kmv_group_overlap(sk, "grp", max_groups=3).collect()

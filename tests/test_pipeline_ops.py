@@ -515,3 +515,71 @@ def test_minhash_batched_signatures_byte_identical(spark, docs):
                                     num_perm=32, use_native=False,
                                     max_stacked=37).collect()}
     assert got_np == want
+
+
+def _uf_oracle(edge_list):
+    """Union-find reference labeling (component = min id)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_star_components_direct_matches_union_find(spark):
+    """large-star/small-star on a mixed graph (chains, triangle, lone
+    edge, self-loop, out-of-order ids) == union-find oracle."""
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import star_components
+    edge_list = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (20, 21), (7, 5), (5, 6), (30, 30)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    comp = {r["v"]: r["comp"] for r in star_components(edges).collect()}
+    release_caches()
+    want = _uf_oracle([(a, b) for a, b in edge_list if a != b])
+    want[30] = 30  # self-loop-only vertex labels itself
+    assert comp == want
+
+
+def test_cc_falls_back_to_star_past_doubling_budget(spark):
+    """A path longer than 2^max_iter defeats pointer doubling; the
+    operator must DEGRADE to the star variant (same labels as the
+    union-find oracle), not abort — and with star_fallback=False it
+    still raises the old loud error."""
+    import pytest
+
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import connected_components
+    edge_list = [(i, i + 1) for i in range(500, 540)]  # diameter 40 > 2^2
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    comp = {r["v"]: r["comp"]
+            for r in connected_components(edges, max_iter=2).collect()}
+    release_caches()
+    assert comp == _uf_oracle(edge_list)
+    assert set(comp.values()) == {500}
+
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=2, star_fallback=False)
+    release_caches()
+
+
+def test_star_components_random_graph_matches_union_find(spark):
+    """Randomized cross-check on a sparse 300-vertex graph."""
+    from kwage_spark.operators.caching import release_caches
+    from kwage_spark.operators.components import star_components
+    rng = np.random.default_rng(11)
+    edge_list = [(int(a), int(b)) for a, b in
+                 rng.integers(0, 300, size=(180, 2)) if a != b]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    comp = {r["v"]: r["comp"] for r in star_components(edges).collect()}
+    release_caches()
+    assert comp == _uf_oracle(edge_list)
