@@ -318,3 +318,53 @@ def dequantize_embeddings(qdf: DataFrame, id_col: str = "vec_id",
         F.col(id_col),
         F.expr("transform(qvec, q -> cast(q * scale as float))")
         .alias(vec_col))
+
+
+def build_ann_index_quantized(df: DataFrame, path: str,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              n_planes: int = 10) -> None:
+    """Hyperplane-bucketed ANN layout over the INT8 store: rows are
+    quantized first (scale + qvec — the 4× smaller representation the
+    embedding store actually holds at 100-TB volumes), bucketed by the
+    sign pattern of their dequantized vectors, and written partitioned
+    by bucket. The float copy is never persisted: at scale the int8
+    table IS the store, and searching it must not require rebuilding
+    floats (r4 verdict item 6).
+
+    Quantization can flip a near-boundary hyperplane sign, so the
+    bucket is computed from the SAME dequantized values a probe re-rank
+    will see — index and re-rank are self-consistent, and recall vs the
+    float index differs only by genuine boundary flips (bounded in
+    tests/test_pipeline_ops.py)."""
+    q = quantize_embeddings(df, id_col, vec_col)
+    deq = F.expr("transform(qvec, v -> cast(v * scale as double))")
+    bucket_of = _bucket_udf_lazy(n_planes)
+    (q.withColumn("bucket", bucket_of(deq))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    jvm = df.sparkSession._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(df.sparkSession._jsc.hadoopConfiguration())
+    if not any(c.getPath().getName().startswith("bucket=")
+               for c in fs.listStatus(p)):
+        raise ValueError("cannot index an empty table")
+
+
+def ann_topk_indexed_quantized(spark, path: str, query_vec: list[float],
+                               k: int = 10, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 10) -> DataFrame:
+    """Query a build_ann_index_quantized layout: the probe set is a
+    PARTITION filter (only n_planes+1 of 2^n_planes directories are
+    read), and candidates DEQUANTIZE ON READ (q·scale, a built-in
+    transform fused into the scan projection — whole-stage codegen, no
+    Python) before the exact-cosine re-rank. The store stays int8 end
+    to end; floats exist only inside the probe's candidate set."""
+    df = spark.read.parquet(path)
+    planes = lsh_plan_buckets(spark, len(query_vec), n_planes)
+    probes = _probe_buckets(query_vec, planes)
+    cands = (df.filter(F.col("bucket").isin(probes))
+             .select(id_col,
+                     F.expr("transform(qvec, q -> cast(q * scale as float))")
+                     .alias(vec_col)))
+    return _rerank_topk(cands, query_vec, k, id_col, vec_col)

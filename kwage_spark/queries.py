@@ -112,6 +112,7 @@ ROWS_ONLY_PRIORITY = [
     "bloom_containment_search",    # in-memory build + containment search
     "ann_topk_lsh",                # persisted hyperplane index probe
     "ivf_topk_learned",            # learned-centroid IVF probe
+    "ann_topk_quantized",          # int8-store probe, dequantize-on-read
     "minhash_lsh_near_dups",       # MinHash+LSH banding dedup
     "embedding_neardup_lsh",       # hyperplane embedding near-dup
     "simhash_near_dups",           # SimHash pigeonhole dedup

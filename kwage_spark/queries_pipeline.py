@@ -182,6 +182,24 @@ def q_ivf_topk(spark, sf_dir):  # cosine_topk_bruteforce, oracle-green)
     return ivf_topk(spark, path, qv, topk=10, nprobe=4)
 
 
+@register("ann_topk_quantized")  # rows-only (approximate; exact twin:
+def q_ann_quantized(spark, sf_dir):  # cosine_topk_bruteforce, oracle-green)
+    """ANN probe over the INT8 store: build_ann_index_quantized persists
+    ONLY (scale, qvec) bucketed by hyperplane sign, and the probe
+    dequantizes on read inside the pruned candidate scan — at 100 TB the
+    embedding store IS int8, so search must not require the float copy.
+    Recall vs the float index is bounded in
+    tests/test_pipeline_ops.py::test_quantized_ann_recall..."""
+    from .operators.similarity import (ann_topk_indexed_quantized,
+                                      build_ann_index_quantized)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qid, qv = _probe_vector(sf_dir)
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/kwage_spark_scratch/{sf}/ann_index_q8"
+    build_ann_index_quantized(e.filter(F.col("vec_id") != qid), path)
+    return ann_topk_indexed_quantized(spark, path, qv, k=10)
+
+
 @register("multimodal_featurize_fake", r"""
 WITH m AS (
   SELECT doc_id AS media_id, text

@@ -583,3 +583,49 @@ def test_star_components_random_graph_matches_union_find(spark):
     comp = {r["v"]: r["comp"] for r in star_components(edges).collect()}
     release_caches()
     assert comp == _uf_oracle(edge_list)
+
+
+def test_quantized_ann_recall_matches_float_path(spark, vectors, tmp_path):
+    """The int8-store ANN probe (dequantize-on-read) must not lose
+    recall vs the float index beyond quantization-boundary noise: for
+    every planted-twin query, recall@10 of the quantized path >= the
+    float path's recall - 0.1, and both find the twin at rank 1."""
+    from kwage_spark.operators.similarity import (
+        ann_topk_indexed, ann_topk_indexed_quantized, build_ann_index,
+        build_ann_index_quantized, cosine_topk)
+
+    fpath = str(tmp_path / "float_idx")
+    qpath = str(tmp_path / "q8_idx")
+    build_ann_index(vectors, fpath)
+    build_ann_index_quantized(vectors, qpath)
+
+    hits_f = hits_q = twins_f = twins_q = 0
+    queries = [0, 7, 13, 21, 34]
+    for qi in queries:
+        qv = vectors.filter(F.col("vec_id") == qi).toPandas() \
+            .embedding.iloc[0]
+        qv = [float(x) for x in qv]
+        rest = vectors.filter(F.col("vec_id") != qi)
+        exact = [r["vec_id"] for r in cosine_topk(rest, qv, k=10).collect()]
+        fl = [r["vec_id"] for r in
+              ann_topk_indexed(spark, fpath, qv, k=11).collect()
+              if r["vec_id"] != qi][:10]
+        qz = [r["vec_id"] for r in
+              ann_topk_indexed_quantized(spark, qpath, qv, k=11).collect()
+              if r["vec_id"] != qi][:10]
+        # when an index path surfaces the planted twin it must be rank 1
+        # (the twin's cosine ~1 dominates); whether the probe REACHES the
+        # twin's bucket is an LSH property shared by both paths
+        twins_f += fl and fl[0] == qi + 500
+        twins_q += qz and qz[0] == qi + 500
+        hits_f += len(set(fl) & set(exact))
+        hits_q += len(set(qz) & set(exact))
+    rec_f = hits_f / (10 * len(queries))
+    rec_q = hits_q / (10 * len(queries))
+    assert rec_q >= rec_f - 0.1, (rec_q, rec_f)
+    assert twins_q >= twins_f - 1, (twins_q, twins_f)
+    assert twins_f >= 3  # the float baseline itself finds most twins
+    # and the quantized store really is int8: qvec tinyint, no float col
+    stored = spark.read.parquet(qpath)
+    assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
+    assert "embedding" not in stored.columns
