@@ -29,20 +29,27 @@ def rows_multiset(cols, rows):
     return sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
-    spark = get_spark(app="oracle_check", master="local[8]")
+def main(sf_dir: str, only: list[str] | None = None,
+         json_out: str | None = None, oracle_only: bool = False,
+         cores: int = 8) -> int:
+    spark = get_spark(app="oracle_check", master=f"local[{cores}]")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     sq, oq = spark_queries(), oracle_queries()
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in sq.items():
         if only and name not in only:
             continue
         if name not in oq:
+            if oracle_only:
+                continue
             df = fn(spark, sf_dir)
-            print(f"{name:32s} rows-only: {df.count()} rows")
+            n = df.count()
+            results[name] = {"rows_only": True, "spark_rows": n}
+            print(f"{name:32s} rows-only: {n} rows")
             continue
         try:
             sdf = fn(spark, sf_dir)
@@ -53,12 +60,17 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             orows = cur.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name:32s} ERROR: {type(e).__name__}: {e}")
+            results[name] = {"err": f"{type(e).__name__}: {e}"}
             failures += 1
             continue
         ok_cols = sorted(scols) == sorted(ocols)
         ok_n = len(srows) == len(orows)
         ok_vals = ok_cols and rows_multiset(scols, srows) == rows_multiset(ocols, orows)
         status = "OK" if (ok_cols and ok_n and ok_vals) else "MISMATCH"
+        results[name] = {"rows_match": ok_n, "schema_match": ok_cols,
+                         "values_match": ok_vals,
+                         "spark_rows": len(srows),
+                         "oracle_rows": len(orows)}
         if status != "OK":
             failures += 1
             print(f"{name:32s} {status} cols={ok_cols} n=({len(srows)},{len(orows)}) vals={ok_vals}")
@@ -73,9 +85,27 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
         else:
             print(f"{name:32s} OK ({len(srows)} rows)")
     spark.stop()
+    if json_out:
+        import json
+        n_ok = sum(1 for r in results.values()
+                   if r.get("values_match") or r.get("rows_only"))
+        payload = {"sf_dir": sf_dir, "n_queries": len(results),
+                   "n_ok": n_ok, "failures": failures, "queries": results}
+        with open(json_out, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}: {n_ok}/{len(results)} ok, "
+              f"{failures} failures")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", default=None)
+    ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--oracle-only", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    a = ap.parse_args()
+    sys.exit(1 if main(a.sf_dir, a.names or None, a.json_out,
+                       a.oracle_only, a.cores) else 0)
