@@ -418,3 +418,42 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     F.round("cosine", 5).alias("cosine")))
+
+
+# ------------------------------------------- duplicate n-gram coverage
+def duplicate_ngram_coverage(df: DataFrame, id_col: str, text_col: str,
+                             k: int = 20) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a document's
+    DISTINCT k-grams that also occur in at least one OTHER document —
+    the curation signal behind substring-level dedup decisions ("this
+    doc is 80% boilerplate seen elsewhere") popularized by corpus-dedup
+    studies; long k (default 20 chars) makes incidental overlap rare, so
+    the score isolates genuinely copied spans.
+
+    Fully relational (no UDF, no sketch): two-level relational shingle
+    (queries.shingle_rel) → per-(gram) aggregate carrying BOTH the
+    distinct-doc count and each doc's membership in one shuffle (the
+    (doc, gram) distinct), then a per-doc mean over its distinct grams.
+    Shuffle volume is O(distinct (doc, gram) pairs); the gram-frequency
+    side aggregates map-side first. Exactly SQL-expressible — value-
+    checked against a DuckDB oracle in
+    tests/test_pipeline_ops.py::test_duplicate_ngram_coverage_oracle.
+    (Not on the driver registry: the 50-slot scorecard window is full —
+    49 oracle-backed + the pinned flagship; see tests/test_registration.)
+
+    Returns (id, n_grams, n_dup_grams, dup_coverage ∈ [0, 1]).
+    """
+    from ..queries import shingle_rel
+
+    doc_grams = (shingle_rel(df, [id_col], text_col, k)
+                 .select(id_col, "gram").distinct())
+    # per-gram distinct-doc count; small relative to the pair table
+    gram_docs = (doc_grams.groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("_ndocs")))
+    joined = doc_grams.join(gram_docs, "gram")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+                 .cast("long").alias("n_dup_grams"))
+            .withColumn("dup_coverage",
+                        F.round(F.col("n_dup_grams") / F.col("n_grams"), 5)))

@@ -629,3 +629,47 @@ def test_quantized_ann_recall_matches_float_path(spark, vectors, tmp_path):
     stored = spark.read.parquet(qpath)
     assert dict(stored.dtypes)["qvec"] == "array<tinyint>"
     assert "embedding" not in stored.columns
+
+
+def test_duplicate_ngram_coverage_oracle(spark, docs):
+    """Exact DuckDB value oracle over the planted-dup corpus: per-doc
+    duplicated-k-gram fraction, plus the semantic check that planted
+    near-dup pairs score high coverage and unrelated docs score low."""
+    import duckdb
+
+    from kwage_spark.operators.dedup import duplicate_ngram_coverage
+
+    got = duplicate_ngram_coverage(docs, "doc_id", "text", k=20).toPandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = con.execute("""
+        WITH dg AS (
+          SELECT DISTINCT doc_id, gram FROM (
+            SELECT doc_id, unnest(list_transform(
+                     generate_series(1, length(text) - 19),
+                     i -> substring(text, i, 20))) AS gram
+            FROM documents WHERE length(text) >= 20)
+        ), gd AS (
+          SELECT gram, count(*) AS ndocs FROM dg GROUP BY gram
+        )
+        SELECT dg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(count(*) FILTER (WHERE gd.ndocs > 1) AS BIGINT)
+                 AS n_dup_grams,
+               round(count(*) FILTER (WHERE gd.ndocs > 1) * 1.0
+                     / count(*), 5) AS dup_coverage
+        FROM dg JOIN gd USING (gram)
+        GROUP BY dg.doc_id ORDER BY dg.doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_grams": "int64", "n_dup_grams": "int64"}),
+        want.astype({"n_grams": "int64", "n_dup_grams": "int64"}))
+
+    cov = dict(zip(got.doc_id, got.dup_coverage))
+    # planted pairs (i, i+100) share ~90% of text -> high coverage both ways
+    assert np.mean([cov[i] for i in range(40)]) > 0.5
+    assert np.mean([cov[i + 100] for i in range(40)]) > 0.5
+    # unrelated docs (id >= 200) mostly unique at k=20
+    assert np.mean([cov[i + 200] for i in range(40)]) < 0.2
