@@ -329,3 +329,69 @@ def kmv_group_overlap(sketches: DataFrame, group_col: str,
     return pairs.mapInPandas(
         score, schema="group_a string, group_b string, "
                       "jaccard_est double, intersection_est double")
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str,
+                      round_dp: int = 5) -> DataFrame:
+    """Gopher-style intra-document repetition signals: the quality rules
+    that catch boilerplate/spam BEFORE any cross-document dedup —
+    (id, n_lines, dup_line_ratio, top_bigram_frac).
+
+      * dup_line_ratio — fraction of non-empty lines that are repeats of
+        an earlier line (1 - distinct/total): pure array built-ins, no
+        shuffle, whole-stage codegen.
+      * top_bigram_frac — share of the document's word-bigram
+        occurrences taken by its single most frequent bigram: RELATIONAL
+        (explode → per-(doc, bigram) count → per-doc max/sum), so the
+        per-doc work is O(n log n) shuffle-partitioned, never an O(n²)
+        array expression.
+
+    High dup_line_ratio or top_bigram_frac => templated/repetitive text
+    (the classic removal rules from published corpus-quality pipelines).
+    """
+    lines = F.expr(
+        f"filter(split({text_col}, '\\n'), l -> length(trim(l)) > 0)")
+    base = df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("_n_dis"),
+        F.split(F.col(text_col), r"\s+").alias("_toks"))
+
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(_toks) - 1, 0)),"
+        " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))")
+    bg = (base.select(id_col, F.explode(bigrams).alias("bigram"))
+          .groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+          .groupBy(id_col)
+          .agg(F.max("n").alias("_top"), F.sum("n").alias("_tot")))
+
+    return (base.join(bg, id_col, "left")
+            .select(id_col, "n_lines",
+                    F.round((F.col("n_lines") - F.col("_n_dis"))
+                            / F.greatest("n_lines", F.lit(1)), round_dp)
+                    .alias("dup_line_ratio"),
+                    F.round(F.coalesce(F.col("_top") / F.col("_tot"),
+                                       F.lit(0.0)), round_dp)
+                    .alias("top_bigram_frac")))
+
+
+#: scrubber patterns kept to the regex subset Java (Spark) and RE2
+#: (DuckDB) agree on, so the oracle twin replays them byte-for-byte
+PII_PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "n_urls": r"https?://[^ \t\n]+",
+    "n_long_digit_runs": r"[0-9]{8,}",
+}
+
+
+def pii_pattern_counts(df: DataFrame, id_col: str, text_col: str,
+                       patterns: dict[str, str] | None = None) -> DataFrame:
+    """Per-document counts of scrub-relevant patterns (emails, URLs,
+    long digit runs) — the audit statistic a curation pipeline records
+    before masking/dropping. Pure ``regexp_count`` column expressions:
+    JVM-side, codegen, no shuffle; extend via ``patterns``."""
+    pats = patterns or PII_PATTERNS
+    return df.select(
+        F.col(id_col),
+        *[F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(n)
+          for n, p in pats.items()])

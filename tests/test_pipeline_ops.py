@@ -673,3 +673,91 @@ def test_duplicate_ngram_coverage_oracle(spark, docs):
     assert np.mean([cov[i + 100] for i in range(40)]) > 0.5
     # unrelated docs (id >= 200) mostly unique at k=20
     assert np.mean([cov[i + 200] for i in range(40)]) < 0.2
+
+
+def test_repetition_scores_oracle(spark):
+    """Exact DuckDB replay of both repetition signals, plus semantics:
+    a templated doc scores high, varied prose scores low."""
+    import duckdb
+
+    from kwage_spark.operators.text import repetition_scores
+
+    rows = [
+        (1, "buy now\nbuy now\nbuy now\nlimited offer"),
+        (2, "a quiet morning\nthe river bends east\nbirds over water"),
+        (3, "spam spam spam spam spam ham"),
+        (4, "one two three four five six seven eight"),
+        (5, "   \n\nonly one real line\n \n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (repetition_scores(df, "doc_id", "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = con.execute(r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             l -> length(trim(l)) > 0) AS lines,
+                 regexp_split_to_array(text, '\s+') AS toks
+          FROM docs
+        ), bg AS (
+          SELECT doc_id, unnest(list_transform(
+                   generate_series(1, greatest(len(toks) - 1, 0)),
+                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM base
+        ), bgc AS (
+          SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2
+        ), bga AS (
+          SELECT doc_id, max(n) AS top, sum(n) AS tot FROM bgc GROUP BY 1
+        )
+        SELECT b.doc_id,
+               CAST(len(b.lines) AS BIGINT) AS n_lines,
+               round((len(b.lines) - len(list_distinct(b.lines))) * 1.0
+                     / greatest(len(b.lines), 1), 5) AS dup_line_ratio,
+               round(coalesce(a.top * 1.0 / a.tot, 0.0), 5)
+                 AS top_bigram_frac
+        FROM base b LEFT JOIN bga a USING (doc_id)
+        ORDER BY b.doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"n_lines": "int64"}),
+        want.astype({"n_lines": "int64"}))
+    byid = got.set_index("doc_id")
+    assert byid.loc[1, "dup_line_ratio"] == 0.5      # 2 of 4 lines repeat
+    assert byid.loc[3, "top_bigram_frac"] >= 0.5     # 'spam spam' dominates
+    assert byid.loc[2, "dup_line_ratio"] == 0.0
+    assert byid.loc[4, "top_bigram_frac"] < 0.2
+    assert byid.loc[5, "n_lines"] == 1
+
+
+def test_pii_pattern_counts_oracle(spark):
+    import duckdb
+
+    from kwage_spark.operators.text import PII_PATTERNS, pii_pattern_counts
+
+    rows = [
+        (1, "contact me at jane.doe+x@example.org or bob@sub.host.net"),
+        (2, "see https://example.com/a?b=1 and http://t.co plain text"),
+        (3, "card 12345678901234 pin 99 ok 1234567"),
+        (4, "nothing suspicious here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = (pii_pattern_counts(df, "doc_id", "text").toPandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    sel = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS {n}"
+        for n, p in PII_PATTERNS.items())
+    want = con.execute(
+        f"SELECT doc_id, {sel} FROM docs ORDER BY doc_id").df()
+    cast = {n: "int64" for n in PII_PATTERNS}
+    pd.testing.assert_frame_equal(got.astype(cast), want.astype(cast))
+    byid = got.set_index("doc_id")
+    assert byid.loc[1, "n_emails"] == 2
+    assert byid.loc[2, "n_urls"] == 2
+    assert byid.loc[3, "n_long_digit_runs"] == 1
+    assert (byid.loc[4] == 0).all()
