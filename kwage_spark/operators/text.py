@@ -395,3 +395,40 @@ def pii_pattern_counts(df: DataFrame, id_col: str, text_col: str,
         F.col(id_col),
         *[F.regexp_count(F.col(text_col), F.lit(p)).cast("long").alias(n)
           for n, p in pats.items()])
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-token training chunks with overlap —
+    the tokenize-window-pack step every LLM data pipeline runs between
+    curation and training. (id, chunk_idx, n_chunk_tokens, chunk_text);
+    chunk i covers whitespace tokens [i·stride, i·stride + chunk_tokens)
+    with stride = chunk_tokens − overlap, so consecutive chunks share
+    exactly ``overlap`` tokens and the final chunk may run short. Starts
+    stop at n − overlap so a pure-suffix chunk (fully contained in its
+    predecessor) is never emitted.
+
+    Pure built-ins (split / sequence / explode / slice / array_join):
+    JVM-side, whole-stage codegen, no shuffle — the explode multiplies
+    rows by ≈ n_tokens/stride, the same fan-out shape as the shingle
+    operators, and chunk rows inherit the scan's partitioning."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = (df.select(F.col(id_col),
+                      F.split(F.col(text_col), r"\s+").alias("_toks"))
+            .withColumn("_n", F.size("_toks")))
+    starts = F.expr(
+        f"sequence(1, greatest(_n - {overlap}, 1), {stride})")
+    return (base.select(id_col, "_toks", "_n",
+                        F.explode(starts).alias("_s"))
+            .select(F.col(id_col),
+                    ((F.col("_s") - 1) / stride).cast("int")
+                    .alias("chunk_idx"),
+                    F.least(F.lit(chunk_tokens),
+                            F.col("_n") - F.col("_s") + 1).cast("long")
+                    .alias("n_chunk_tokens"),
+                    F.array_join(F.slice("_toks", F.col("_s"),
+                                         F.lit(chunk_tokens)), " ")
+                    .alias("chunk_text")))

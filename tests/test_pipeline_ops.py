@@ -761,3 +761,60 @@ def test_pii_pattern_counts_oracle(spark):
     assert byid.loc[2, "n_urls"] == 2
     assert byid.loc[3, "n_long_digit_runs"] == 1
     assert (byid.loc[4] == 0).all()
+
+
+def test_chunk_documents_oracle_and_overlap(spark):
+    """Exact DuckDB replay of token-window chunking, plus the packing
+    invariants: consecutive full chunks share exactly `overlap` tokens,
+    chunk 0 starts the doc, and no pure-suffix chunk is emitted."""
+    import duckdb
+
+    from kwage_spark.operators.text import chunk_documents
+
+    rng = np.random.default_rng(9)
+    rows = [(i, " ".join(f"w{int(x)}" for x in rng.integers(0, 50, n)))
+            for i, n in enumerate([5, 16, 17, 40, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    C, O = 16, 4
+    got = (chunk_documents(df, "doc_id", "text", chunk_tokens=C, overlap=O)
+           .toPandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = con.execute(rf"""
+        WITH base AS (
+          SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+                 len(regexp_split_to_array(text, '\s+')) AS n
+          FROM docs
+        ), s AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(1, greatest(n - {O}, 1) + 1, {C - O})) AS st
+          FROM base
+        )
+        SELECT doc_id,
+               CAST((st - 1) / {C - O} AS INTEGER) AS chunk_idx,
+               CAST(least({C}, n - st + 1) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(list_slice(toks, st, st + {C} - 1), ' ')
+                 AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx
+    """).df()
+    pd.testing.assert_frame_equal(
+        got.astype({"chunk_idx": "int32", "n_chunk_tokens": "int64"}),
+        want.astype({"chunk_idx": "int32", "n_chunk_tokens": "int64"}))
+
+    texts = dict(rows)
+    for doc_id, grp in got.groupby("doc_id"):
+        toks = texts[doc_id].split()
+        chunks = [c.split() for c in grp.sort_values("chunk_idx").chunk_text]
+        assert chunks[0][0] == toks[0]
+        # every token appears in some chunk (coverage)
+        covered = set()
+        for i, ch in enumerate(chunks):
+            covered.update(range(i * (C - O), i * (C - O) + len(ch)))
+        assert covered == set(range(len(toks)))
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a) == C:
+                assert a[-O:] == b[:O]       # exact overlap
+        # no pure-suffix chunk: every chunk past 0 adds new tokens
+        assert all(len(ch) > O for ch in chunks[1:]) or len(chunks) == 1
