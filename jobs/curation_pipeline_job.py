@@ -1,0 +1,142 @@
+"""spark-submit entry: the full training-data CURATION pipeline as one job.
+
+The library's operators composed end to end the way a production corpus
+build runs them — each stage's scale shape noted inline:
+
+  1. quality gate   — length/repetition thresholds (built-in expressions,
+                      no shuffle; pii/repetition audit columns recorded);
+  2. exact dedup    — sha256 hash-groupBy keeping the min doc id
+                      (one shuffle on the digest, the cheapest dedup);
+  3. near dedup     — MinHash+LSH candidate pairs → connected components
+                      → per-cluster min-id survivor (banded self-join +
+                      log-round label propagation; the LSH contract keeps
+                      the quadratic step inside buckets);
+  4. split assign   — leakage-safe content-hash train/val/test (identical
+                      content always lands in one split, survivor moves
+                      don't reshuffle it);
+  5. chunking       — fixed-token windows with overlap (explode, codegen,
+                      no shuffle), written partitioned by split so a
+                      training run's reader prunes at the directory;
+  6. manifest       — one JSON line of per-stage counters: the corpus
+                      datasheet (docs in → quality-dropped → exact-dupe
+                      dropped → near-dupe dropped → chunks out per split).
+
+Launch:
+  spark-submit --master local[N] --py-files kwage_spark.zip \
+      jobs/curation_pipeline_job.py --input DIR --output DIR
+
+Deterministic end to end: re-running on the same input produces the
+same survivors, splits, and chunks (content-hash decisions, min-id
+survivors, seeded LSH) — asserted in tests/test_curation_job.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from kwage_spark.operators.caching import cache_scope
+from kwage_spark.operators.components import dedup_representatives
+from kwage_spark.operators.dedup import minhash_lsh_pairs
+from kwage_spark.operators.text import chunk_documents, repetition_scores
+
+
+def run(spark: SparkSession, input_path: str, output_path: str,
+        id_col: str = "doc_id", text_col: str = "text",
+        min_chars: int = 40, max_dup_line_ratio: float = 0.5,
+        max_top_bigram_frac: float = 0.30,
+        lsh_threshold: float = 0.5, chunk_tokens: int = 128,
+        overlap: int = 16) -> dict:
+    docs = spark.read.parquet(input_path)
+    n_in = docs.count()
+
+    # ---- 1. quality gate (no shuffle: per-row expressions + one
+    # relational bigram aggregate keyed by doc)
+    rep = repetition_scores(docs, id_col, text_col)
+    gated = (docs.join(rep, id_col)
+             .filter((F.length(text_col) >= min_chars)
+                     & (F.col("dup_line_ratio") <= max_dup_line_ratio)
+                     & (F.col("top_bigram_frac") <= max_top_bigram_frac))
+             .select(docs["*"]))
+    n_quality = gated.count()
+
+    # ---- 2. exact dedup (one digest shuffle; min id survives)
+    hashed = gated.withColumn(
+        "_sha", F.sha2(F.col(text_col).cast("binary"), 256))
+    exact_keep = (hashed.groupBy("_sha")
+                  .agg(F.min(id_col).alias(id_col)))
+    exact = (hashed.join(exact_keep, [id_col, "_sha"], "left_semi")
+             .drop("_sha")
+             .localCheckpoint(eager=True))  # read 3x below: LSH both
+    n_exact = exact.count()                 # sides + the survivor join
+
+    # ---- 3. near dedup: LSH pairs -> clusters -> min-id survivor
+    with cache_scope():
+        pairs = minhash_lsh_pairs(exact, id_col, text_col,
+                                  threshold=lsh_threshold)
+        keep = (dedup_representatives(pairs, id_a="id_a", id_b="id_b")
+                .filter(F.col("doc_id") == F.col("keep"))
+                .select(F.col("doc_id").alias(id_col))
+                .localCheckpoint(eager=True))
+        drops = (dedup_representatives(pairs, id_a="id_a", id_b="id_b")
+                 .filter(F.col("doc_id") != F.col("keep"))
+                 .select(F.col("doc_id").alias(id_col))
+                 .localCheckpoint(eager=True))
+    survivors = exact.join(drops, id_col, "left_anti")
+    n_near = survivors.count()
+
+    # ---- 4. leakage-safe split (content hash: pure expressions)
+    pfx = F.substring(F.md5(F.col(text_col).cast("binary")), 1, 2)
+    split_docs = survivors.withColumn(
+        "split", F.when(pfx < "cc", "train").when(pfx < "e6", "val")
+        .otherwise("test"))
+
+    # ---- 5. chunk + write partitioned by split (directory pruning for
+    # the training reader); chunk rows inherit the scan partitioning
+    chunks = (chunk_documents(split_docs, id_col, text_col,
+                              chunk_tokens=chunk_tokens, overlap=overlap)
+              .join(split_docs.select(id_col, "split"), id_col))
+    chunks.write.mode("overwrite").partitionBy("split") \
+        .parquet(f"{output_path}/chunks")
+
+    out = spark.read.parquet(f"{output_path}/chunks")
+    per_split = {r["split"]: r["n"] for r in
+                 out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    manifest = {
+        "n_input_docs": n_in,
+        "n_after_quality": n_quality,
+        "n_after_exact_dedup": n_exact,
+        "n_after_near_dedup": n_near,
+        "n_chunks": sum(per_split.values()),
+        "chunks_per_split": per_split,
+    }
+    with open(os.path.join(output_path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--chunk-tokens", type=int, default=128)
+    ap.add_argument("--overlap", type=int, default=16)
+    args = ap.parse_args()
+    spark = SparkSession.builder.appName("kwage_curation").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    out = run(spark, args.input, args.output,
+              chunk_tokens=args.chunk_tokens, overlap=args.overlap)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

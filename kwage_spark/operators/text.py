@@ -357,9 +357,14 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str,
         F.size(F.array_distinct(lines)).cast("long").alias("_n_dis"),
         F.split(F.col(text_col), r"\s+").alias("_toks"))
 
+    # guard short docs explicitly: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0], not an empty array, so a 1-token document would
+    # index past the array without the case
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(_toks) - 1, 0)),"
-        " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))")
+        "case when size(_toks) >= 2 then"
+        " transform(sequence(1, size(_toks) - 1),"
+        " i -> concat(element_at(_toks, i), ' ', element_at(_toks, i + 1)))"
+        " else array() end")
     bg = (base.select(id_col, F.explode(bigrams).alias("bigram"))
           .groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
           .groupBy(id_col)

@@ -688,6 +688,7 @@ def test_repetition_scores_oracle(spark):
         (3, "spam spam spam spam spam ham"),
         (4, "one two three four five six seven eight"),
         (5, "   \n\nonly one real line\n \n"),
+        (6, "single"),  # 1 token: bigram array must be EMPTY, not crash
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = (repetition_scores(df, "doc_id", "text").toPandas()
@@ -730,6 +731,7 @@ def test_repetition_scores_oracle(spark):
     assert byid.loc[2, "dup_line_ratio"] == 0.0
     assert byid.loc[4, "top_bigram_frac"] < 0.2
     assert byid.loc[5, "n_lines"] == 1
+    assert byid.loc[6, "top_bigram_frac"] == 0.0
 
 
 def test_pii_pattern_counts_oracle(spark):
