@@ -224,3 +224,26 @@ def test_embedding_paths_launch_no_eager_probe_job(spark, monkeypatch):
     for qname in ("ann_topk_lsh", "ivf_topk_learned"):
         out = spark_queries()[qname](spark, SF)
         assert len(out.collect()) > 0
+
+
+def test_quantized_ann_probe_prunes_partitions(spark, tmp_path):
+    """The int8-store probe keeps the same PartitionFilters contract as
+    the float index: bucket .isin(probes) prunes at the scan, and the
+    dequantize transform is fused into the scan projection (no Python
+    stage between scan and re-rank)."""
+    from kwage_spark.operators.similarity import (
+        ann_topk_indexed_quantized, build_ann_index_quantized)
+    from kwage_spark.plans.inspect import partition_filters
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    first = emb.orderBy("vec_id").first()
+    path = str(tmp_path / "annq8")
+    build_ann_index_quantized(emb, path, n_planes=6)
+    res = ann_topk_indexed_quantized(spark, path, first["embedding"],
+                                     k=5, n_planes=6)
+    pf = partition_filters(res)
+    assert "bucket" in pf and ("IN" in pf or "In" in pf), \
+        f"no partition pruning on bucket:\n{pf}"
+    plan = physical_plan(res)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    top = res.collect()
+    assert top and top[0]["vec_id"] == first["vec_id"]  # self ~ its own NN
