@@ -5,8 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def ensure_parallelism(df: DataFrame, min_partitions: int | None = None
-                       ) -> DataFrame:
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None,
+                       key_cols: list[str] | None = None) -> DataFrame:
     """Widen thin inputs before work-amplifying stages.
 
     Operators whose per-row cost is large (mapInPandas signature passes,
@@ -24,6 +24,14 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None
     input is KNOWN to be trivially small (a scoped test query) should
     skip the widen at the call site — the probe itself can cost a
     hidden job under AQE when the plan has upstream shuffles.
+
+    ``key_cols``: when the caller knows a (near-)unique key, widen by
+    HASH partitioning on it instead of round-robin — a keyless
+    ``repartition(n)`` first pays a local sort of its input
+    (spark.sql.execution.sortBeforeRepartition, needed so retried tasks
+    reproduce the row→partition assignment), while hash partitioning on
+    a deterministic column needs no sort and stays retry-safe
+    (guide §2.5: derive synthetic keys deterministically).
     """
     if df.isStreaming:
         return df
@@ -33,5 +41,7 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None
     except Exception:  # noqa: BLE001 — plan not probe-able; keep as-is
         return df
     if n < target:
+        if key_cols:
+            return df.repartition(target, *key_cols)
         return df.repartition(target)
     return df

@@ -326,20 +326,28 @@ def exact_containment_flagship(spark, sf_dir):
     The query snippet is a driver literal, so its unique k-grams are
     digested in plain Python (Q1) — no Spark job for the count, and the
     gram set ships as a local relation into the broadcast join."""
+    from .operators.util import ensure_parallelism
     d = _t(spark, sf_dir, "documents")
     grams = sorted({FLAGSHIP_SNIPPET[i:i + KGRAM_K]
                     for i in range(len(FLAGSHIP_SNIPPET) - KGRAM_K + 1)})
     n_q = len(grams)
-    qgrams = spark.createDataFrame([(g,) for g in grams], "gram string")
-    # broadcast-join BEFORE distinct: the join keeps only grams present in
-    # the (tiny) query set, so the distinct shuffles a few hundred rows
-    # instead of every k-gram in the corpus — at 100 TB the pre-filter is
-    # the difference between a broadcast probe and a full-corpus shuffle.
-    # Shingling via the two-level segment slide (see shingle_rel): the
-    # one-level forms — transform-array AND naive index-explode — are
-    # O(len²) per doc in substring position scans.
-    dgrams = (shingle_rel(d, ["source"], "text", KGRAM_K)
-              .join(F.broadcast(qgrams), "gram")
+    # r6 optimization (guide §2.3/§2.4): the query gram set is a tiny
+    # driver literal, so "which query grams does this doc contain" needs
+    # NO corpus shingling at all — filter the 31-element literal array by
+    # contains(text, gram) per document (31 substring scans, codegen)
+    # instead of exploding every k-char window (~len(text) rows per doc,
+    # ~50M rows at sf1.0) and hash-probing each against the broadcast
+    # set. Identical algebra: a gram is in the doc's window set iff
+    # contains(text, gram). Measured 1.87s -> 0.47s at sf1.0 (plan:
+    # 2 Generate nodes + BroadcastHashJoin removed). The general
+    # many-query form (operators/search.exact_containment) keeps the
+    # shingle+join shape, which is right when the gram set is not tiny.
+    garr = F.array(*[F.lit(g) for g in grams])
+    dgrams = (ensure_parallelism(d, key_cols=["doc_id"])
+              .select("source",
+                      F.explode(F.filter(garr,
+                                         lambda g: F.col("text").contains(g)))
+                      .alias("gram"))
               .distinct())
     return (dgrams
             .groupBy("source")
@@ -358,7 +366,20 @@ SELECT o_orderpriority, rn, o_orderkey FROM (
 WHERE rn <= 3
 """)
 def topk_per_group(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    """Catalyst already plans this as WindowGroupLimit(Partial) → tiny
+    exchange → WindowGroupLimit(Final), so only ≤3 rows per (group ×
+    map task) ever shuffle. The remaining cost is the PARTIAL stage's
+    local sort, which inherits the scan parallelism — a single-file
+    table scans as ≤ n_row_groups tasks (2 at sf1.0), serializing the
+    1.5M-row sort. Widen on the unique key first (no-op at real scale,
+    no sort-before-repartition since hash partitioning is deterministic);
+    measured 1.82s → 0.62s at sf1.0 (guide §2.5 input-skew fix). rn is
+    unchanged under any partitioning: the (price desc, orderkey) order
+    is total."""
+    from .operators.util import ensure_parallelism
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority")
+    o = ensure_parallelism(o, key_cols=["o_orderkey"])
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (o.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= 3)
@@ -622,7 +643,14 @@ def ngram_jaccard_adjacent(spark, sf_dir):
     skipped: repartitioning ~100 rows costs more than one task saves
     (the r3→r4 bench regression)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    grams = shingle_rel(d, ["doc_id"], "text", 5, widen=False).distinct()
+    # the gram table feeds THREE consumers (sizes + both self-join
+    # sides); without a materialization the scan+shingle+distinct runs
+    # three times (r6 plan audit: two full Generate chains + three
+    # Exchanges). One eager localCheckpoint computes it once — bounded
+    # forever by the doc_id<100 scope, so the block-manager copy is a
+    # few MB at any corpus size (guide §5 caching-for-reuse).
+    grams = (shingle_rel(d, ["doc_id"], "text", 5, widen=False).distinct()
+             .localCheckpoint(eager=True))
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
@@ -718,6 +746,7 @@ def cosine_topk_bruteforce(spark, sf_dir):
     Pure built-ins (zip_with/aggregate): JVM-side, no Python in the hot
     path; the query vector joins via broadcast.
     """
+    from .operators.util import ensure_parallelism
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     dot = F.expr("aggregate(zip_with(embedding, qv, (x, y) ->"
@@ -727,7 +756,14 @@ def cosine_topk_bruteforce(spark, sf_dir):
                  " (acc, x) -> acc + cast(x as double) * cast(x as double)))")
     qnrm = F.expr("sqrt(aggregate(qv, cast(0.0 as double),"
                   " (acc, x) -> acc + cast(x as double) * cast(x as double)))")
-    return (e.filter(F.col("vec_id") != 0)
+    # widen before the per-row interpreted higher-order dot/norm work:
+    # the single-row-group embeddings file otherwise pins the whole
+    # scoring pass to one task (0.42s → 0.22s at sf1.0, guide §2.5);
+    # TakeOrderedAndProject below is already a map-side partial top-k
+    scored = ensure_parallelism(
+        e.filter(F.col("vec_id") != 0).select("vec_id", "embedding"),
+        key_cols=["vec_id"])
+    return (scored
             .crossJoin(F.broadcast(q))
             .withColumn("cos", dot / (nrm * qnrm))
             .orderBy(F.desc("cos"), "vec_id")

@@ -69,9 +69,19 @@ def test_relational_queries_use_codegen(spark):
     assert has_wholestage_codegen(q)
 
 
-def test_exact_containment_broadcasts_query_grams(spark):
+def test_exact_containment_has_no_shingle_join(spark):
+    """r6: the flagship probes the tiny literal gram set with
+    contains(text, gram) per document — the plan must contain NO join
+    and NO shingle fan-out (the old shape exploded ~len(text) gram rows
+    per doc through two Generate nodes into a broadcast join; the only
+    Generate left is the ≤31-element matched-gram array explode), and
+    the only exchanges are the (source, gram) distinct + final agg."""
     q = spark_queries()["exact_containment_flagship"](spark, SF)
-    assert has_broadcast_join(q), physical_plan(q)
+    plan = physical_plan(q)
+    assert "Join" not in plan, plan
+    # one Generate node: formatted plans print it twice (tree + detail)
+    assert plan.count("- Generate") == 1, plan
+    assert count_exchanges(q) <= 3, plan
 
 
 def test_band_join_shuffle_excludes_signatures(spark):
