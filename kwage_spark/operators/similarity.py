@@ -70,13 +70,30 @@ def _bucket_udf_lazy(n_planes: int):
     dimension probe (an extra pre-action job at construction) and no
     driver broadcast; probe-side code regenerates the identical planes
     from len(query_vec)."""
+    planes_by_dim: dict[int, np.ndarray] = {}
+
     @F.pandas_udf("long")
     def bucket_of(vecs: pd.Series) -> pd.Series:
         if not len(vecs):
             return pd.Series([], dtype="int64")
         mat = np.stack(vecs.to_numpy())
-        rng = np.random.default_rng(HYPERPLANE_SEED)
-        p = rng.standard_normal((n_planes, mat.shape[1]))
+        dim = mat.shape[1]
+        # r6 (guide §4.5 + r5 advice): derive the plane matrix ONCE per
+        # (worker, dim) instead of re-running the Gaussian RNG on every
+        # Arrow batch, and fail loudly if a ragged vector column ever
+        # presents a second dim — the old per-batch derivation would
+        # silently bucket different batches under different plane sets.
+        p = planes_by_dim.get(dim)
+        if p is None:
+            if planes_by_dim:
+                raise ValueError(
+                    f"hyperplane bucketing saw vectors of dim {dim} after "
+                    f"dim {next(iter(planes_by_dim))}: the embedding "
+                    "column is ragged; fix the input — buckets would "
+                    "silently come from different plane sets")
+            rng = np.random.default_rng(HYPERPLANE_SEED)
+            p = rng.standard_normal((n_planes, dim))
+            planes_by_dim[dim] = p
         signs = (mat @ p.T) > 0
         return pd.Series((signs * (1 << np.arange(p.shape[0]))).sum(axis=1)
                          .astype(np.int64))

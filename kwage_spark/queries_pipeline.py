@@ -149,7 +149,11 @@ def _probe_vector(sf_dir: str, spark=None) -> tuple[int, list[float]]:
             path = os.path.join(path, parts[0])
         tbl = pq.ParquetFile(path).read_row_group(
             0, columns=["vec_id", "embedding"])
-    except (OSError, FileNotFoundError, IndexError):
+    except (OSError, ValueError, IndexError):
+        # ValueError covers pyarrow.lib.ArrowInvalid (a ValueError
+        # subclass) raised for URIs pyarrow cannot address (s3a://,
+        # hdfs://) — without it the documented Spark fallback below
+        # never triggered on object-store sf_dirs (r5 advice).
         if spark is None:
             raise
         row = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")

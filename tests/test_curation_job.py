@@ -80,3 +80,46 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     key = ["doc_id", "chunk_idx", "split", "chunk_text"]
     assert sorted(map(tuple, chunks.select(*key).collect())) == \
         sorted(map(tuple, c2.select(*key).collect()))
+
+
+def test_connected_components_runs_once(spark, tmp_path, monkeypatch):
+    """r6: the job must invoke dedup_representatives exactly once (the
+    r5 verdict flagged a dead eager `keep` table that ran the full CC
+    loop a second time) and must not re-join chunks to re-attach split
+    (passthrough carries it)."""
+    import jobs.curation_pipeline_job as job
+    calls = {"n": 0}
+    real = job.dedup_representatives
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(job, "dedup_representatives", counting)
+    docs = _corpus(spark)
+    inp = str(tmp_path / "in")
+    docs.write.mode("overwrite").parquet(inp)
+    m = run(spark, inp, str(tmp_path / "out"))
+    assert calls["n"] == 1
+    assert m["n_chunks"] == sum(m["chunks_per_split"].values())
+
+
+def test_chunk_passthrough_carries_split_without_join(spark):
+    """chunk_documents(passthrough_cols=...) keeps the chunk values
+    byte-identical to the no-passthrough form and adds the column with
+    NO join in the plan."""
+    from kwage_spark.operators.text import chunk_documents
+    from kwage_spark.plans.inspect import physical_plan
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(40)),
+          "train" if i % 2 else "test") for i in range(6)],
+        "doc_id long, text string, split string")
+    base = chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=4)
+    thru = chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=4,
+                           passthrough_cols=["split"])
+    assert "Join" not in physical_plan(thru)
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, thru.drop("split").collect()))
+    assert a == b
+    splits = {(r["doc_id"], r["split"]) for r in thru.collect()}
+    assert splits == {(i, "train" if i % 2 else "test") for i in range(6)}

@@ -149,3 +149,14 @@ def test_kmv_group_overlap_guards_group_explosion(spark):
 
     with pytest.raises(Exception, match="max_groups"):
         kmv_group_overlap(sk, "grp", max_groups=3).collect()
+
+    # NON-NULLABLE group column — the r5 advisor showed Catalyst's null
+    # propagation folded the old coalesce-anchored assert away exactly
+    # here (6 groups, max_groups=3, all 15 pairs emitted, no raise); the
+    # r6 data-column guard must still fire
+    sk_nn = sk.withColumn("grp", F.coalesce(F.col("grp"), F.lit("x")))
+    assert not sk_nn.schema["grp"].nullable
+    with pytest.raises(Exception, match="max_groups"):
+        kmv_group_overlap(sk_nn, "grp", max_groups=3).collect()
+    ok_nn = kmv_group_overlap(sk_nn, "grp", max_groups=10).collect()
+    assert sorted(map(tuple, ok_nn)) == sorted(map(tuple, ok))

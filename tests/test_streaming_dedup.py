@@ -218,3 +218,47 @@ def test_stream_dedup_expected_docs_sizes_params(spark, tmp_path):
     cap = BloomParams.approximate_max_kmers(mod.DEFAULT_P_TARGET,
                                             p.log2_m, p.num_hash)
     assert cap >= 10_000  # one generation suffices at the planned size
+
+
+def test_stream_dedup_raises_on_cross_restart_param_mismatch():
+    """Resuming a checkpoint with DIFFERENT BloomParams must fail loudly
+    — probing old generations with new seeds silently degrades
+    membership checks to noise (r5 verdict Wrong #3)."""
+    import hashlib
+
+    import pytest
+
+    from kwage_spark.kernels.bloom import BloomParams
+    from kwage_spark.streaming.dedup_stream import _fold_bucket
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.blob = None
+
+        @property
+        def get(self):
+            return (self.blob,)
+
+        def update(self, t):
+            self.blob = t[0]
+            self.exists = True
+
+    st = FakeState()
+    rows = pd.DataFrame(
+        [(i, hashlib.sha256(f"doc {i}".encode()).hexdigest())
+         for i in range(10)], columns=["doc_id", "content_sha256"])
+    p1 = BloomParams(k=32, log2_m=12, num_hash=3)
+    list(_fold_bucket((0,), iter([rows]), st, p1,
+                      capacity=10**9, max_generations=8))
+    assert st.exists
+    p2 = BloomParams(k=32, log2_m=13, num_hash=3)
+    with pytest.raises(RuntimeError, match="params"):
+        list(_fold_bucket((0,), iter([rows]), st, p2,
+                          capacity=10**9, max_generations=8))
+    # identical params resume cleanly
+    out = list(_fold_bucket((0,), iter([rows]), st, p1,
+                            capacity=10**9, max_generations=8))
+    assert not out  # all replayed docs are duplicates
