@@ -305,8 +305,9 @@ RAW_PARTITION_BYTES = 64 << 20
 
 
 def _footer_scan_stats(src: DataFrame, cfg: SketchConfig
-                       ) -> tuple[int, int] | None:
-    """(n_rows, content_bytes) straight from the parquet FOOTERS,
+                       ) -> tuple[int, int, int, int, list[str]] | None:
+    """(n_rows, content_bytes, group_col_compressed_bytes, n_row_groups,
+    local_paths) straight from the parquet FOOTERS,
     driver-side, zero Spark jobs (guide §1/§6: don't re-scan data for
     statistics the storage layer already keeps). Only valid when ``src``
     is a pure column-pruned scan — any Filter/Join/agg between the

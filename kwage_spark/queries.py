@@ -325,7 +325,7 @@ def exact_containment_flagship(spark, sf_dir):
 
     The query snippet is a driver literal, so its unique k-grams are
     digested in plain Python (Q1) — no Spark job for the count, and the
-    gram set ships as a local relation into the broadcast join."""
+    gram set ships as a literal array into the per-doc contains probe."""
     from .operators.util import ensure_parallelism
     d = _t(spark, sf_dir, "documents")
     grams = sorted({FLAGSHIP_SNIPPET[i:i + KGRAM_K]
